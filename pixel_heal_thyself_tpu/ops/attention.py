@@ -1,0 +1,196 @@
+"""Feature-guided block-local halo self-attention (AFGSA) — XLA path.
+
+The core op of the AFGSA denoiser (behavioral spec: reference
+`pht/models/afgsa/model.py:401-516`): each non-overlapping `block × block`
+tile of queries attends to a `(block+2·halo)²` key/value window centered on
+it (zero padding at image borders, like the reference's
+`F.unfold(..., padding=halo)` at `model.py:480-485`). A decomposed 2-D
+relative positional embedding is added to the keys (row/col halves of each
+head's channels, shared across heads, `model.py:490-498`), and queries may
+be permuted along a space-filling curve before attention and un-permuted
+after (`model.py:477,506`).
+
+TPU-first design notes:
+- NHWC layout throughout; the window gather uses static index arrays that
+  XLA lowers to efficient gathers; all contractions run on the MXU with
+  fp32 accumulation (`preferred_element_type`).
+- softmax is computed in fp32 regardless of the compute dtype.
+- a fused Pallas kernel with identical signature lives in
+  `ops/attention_pallas.py`; `block_halo_attention` dispatches on
+  `use_pallas`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def extract_halo_windows(
+    x: jnp.ndarray,
+    block_size: int,
+    halo_size: int,
+) -> jnp.ndarray:
+    """Extract overlapping (block+2·halo)² windows at stride `block`.
+
+    x: [B, H, W, C] (H, W divisible by block_size). Zero padding at the
+    borders — the `F.unfold(kernel=block+2h, stride=block, padding=h)`
+    equivalent (reference `model.py:480-485`).
+
+    Returns [B, hb, wb, window, window, C].
+    """
+    b, h, w, c = x.shape
+    hb, wb = h // block_size, w // block_size
+    window = block_size + 2 * halo_size
+    xp = jnp.pad(
+        x,
+        ((0, 0), (halo_size, halo_size), (halo_size, halo_size), (0, 0)),
+    )
+    row_idx = (
+        np.arange(hb)[:, None] * block_size + np.arange(window)[None, :]
+    )  # [hb, window]
+    col_idx = np.arange(wb)[:, None] * block_size + np.arange(window)[None, :]
+    # gather rows → [B, hb, window, Wp, C]; then cols → [B, hb, window, wb, window, C]
+    xw = jnp.take(xp, jnp.asarray(row_idx.reshape(-1)), axis=1)
+    xw = xw.reshape(b, hb, window, w + 2 * halo_size, c)
+    xw = jnp.take(xw, jnp.asarray(col_idx.reshape(-1)), axis=3)
+    xw = xw.reshape(b, hb, window, wb, window, c)
+    return xw.transpose(0, 1, 3, 2, 4, 5)
+
+
+def blocks_from_image(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """[B,H,W,C] → [B, hb, wb, block², C] of raster-flattened tiles."""
+    b, h, w, c = x.shape
+    hb, wb = h // block_size, w // block_size
+    x = x.reshape(b, hb, block_size, wb, block_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, hb, wb, block_size * block_size, c)
+
+
+def image_from_blocks(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """Inverse of `blocks_from_image`: [B,hb,wb,block²,C] → [B,H,W,C]."""
+    b, hb, wb, _, c = x.shape
+    x = x.reshape(b, hb, wb, block_size, block_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, hb * block_size, wb * block_size, c)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("block_size", "halo_size", "num_heads"),
+)
+def block_halo_attention_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_h: jnp.ndarray,
+    rel_w: jnp.ndarray,
+    curve_indices: jnp.ndarray,
+    inv_curve_indices: jnp.ndarray,
+    *,
+    block_size: int,
+    halo_size: int,
+    num_heads: int,
+) -> jnp.ndarray:
+    """Block-halo attention, pure-XLA implementation.
+
+    q, k, v: [B, H, W, C] projected feature maps (q/k from fused features,
+    v from noisy features — the caller projects). rel_h: [window, hd//2],
+    rel_w: [window, hd//2]. Returns [B, H, W, C].
+    """
+    b, h, w, c = q.shape
+    window = block_size + 2 * halo_size
+    head_ch = c // num_heads
+    in_dtype = q.dtype
+
+    # queries per block, scaled, curve-ordered
+    qb = blocks_from_image(q, block_size)  # [B,hb,wb,bs²,C]
+    qb = qb * jnp.asarray(head_ch, jnp.float32).astype(in_dtype) ** -0.5
+    qb = jnp.take(qb, curve_indices, axis=3)
+    hb, wb = h // block_size, w // block_size
+    nq = block_size * block_size
+    qh = qb.reshape(b, hb, wb, nq, num_heads, head_ch).transpose(0, 1, 2, 4, 3, 5)
+
+    # key/value halo windows
+    kw = extract_halo_windows(k, block_size, halo_size)  # [B,hb,wb,win,win,C]
+    vw = extract_halo_windows(v, block_size, halo_size)
+
+    # relative positional embedding on keys: first hd//2 channels of each
+    # head get the row embedding, the rest the column embedding (shared
+    # across heads; reference model.py:490-498)
+    kw = kw.reshape(b, hb, wb, window, window, num_heads, head_ch)
+    k_h = kw[..., : head_ch // 2] + rel_h[:, None, None, :].astype(kw.dtype)
+    k_w = kw[..., head_ch // 2 :] + rel_w[None, :, None, :].astype(kw.dtype)
+    kw = jnp.concatenate([k_h, k_w], axis=-1)
+    nk = window * window
+    kh = kw.reshape(b, hb, wb, nk, num_heads, head_ch).transpose(0, 1, 2, 4, 3, 5)
+    vh = vw.reshape(b, hb, wb, nk, num_heads, head_ch).transpose(0, 1, 2, 4, 3, 5)
+
+    # attention (MXU matmuls, fp32 accumulation + fp32 softmax)
+    logits = jnp.einsum(
+        "bxyhqd,bxyhkd->bxyhqk",
+        qh,
+        kh,
+        preferred_element_type=jnp.float32,
+    )
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bxyhqk,bxyhkd->bxyhqd",
+        attn.astype(in_dtype),
+        vh,
+        preferred_element_type=jnp.float32,
+    ).astype(in_dtype)
+
+    # undo curve ordering, merge heads head-major (reference model.py:506-516)
+    out = out.transpose(0, 1, 2, 4, 3, 5).reshape(b, hb, wb, nq, c)
+    out = jnp.take(out, inv_curve_indices, axis=3)
+    return image_from_blocks(out, block_size)
+
+
+def block_halo_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_h: jnp.ndarray,
+    rel_w: jnp.ndarray,
+    curve_indices: jnp.ndarray,
+    inv_curve_indices: jnp.ndarray,
+    *,
+    block_size: int,
+    halo_size: int,
+    num_heads: int,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Dispatching entry point: Pallas fused kernel or XLA fallback."""
+    if use_pallas:
+        from pixel_heal_thyself_tpu.ops.attention_pallas import (
+            block_halo_attention_pallas,
+        )
+
+        return block_halo_attention_pallas(
+            q,
+            k,
+            v,
+            rel_h,
+            rel_w,
+            curve_indices,
+            inv_curve_indices,
+            block_size=block_size,
+            halo_size=halo_size,
+            num_heads=num_heads,
+        )
+    return block_halo_attention_xla(
+        q,
+        k,
+        v,
+        rel_h,
+        rel_w,
+        curve_indices,
+        inv_curve_indices,
+        block_size=block_size,
+        halo_size=halo_size,
+        num_heads=num_heads,
+    )
