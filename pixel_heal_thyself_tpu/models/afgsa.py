@@ -1,0 +1,321 @@
+"""AFGSA windowed-attention denoiser (flax, NHWC, TPU-first).
+
+Behavioral spec: reference `pht/models/afgsa/model.py` —
+- AFGSA attention module (`model.py:401-524`): fuse noisy+aux features
+  (1×1 conv over concat, or FiLM), project q/k from fused features and v
+  from noisy features with bias-free kaiming-fan-out 1×1 convs, then
+  block-halo attention with relative positional embeddings and optional
+  space-filling-curve query ordering.
+- TransformerBlock (`model.py:527-582`): residual attention + residual
+  two-conv feed-forward, carrying the (noisy, aux) pair.
+- AFGSANet (`model.py:585-733`): multi-scale (1/3/5) conv encoders for the
+  noisy and aux branches, N transformer blocks (the last `num_gcp`
+  gradient-checkpointed — here `jax.checkpoint`/nn.remat), 3-conv decoder,
+  global residual to the noisy input.
+- FiLM (`pht/models/afgsa/film.py:7-43`): cond → 1×1 conv → ReLU → 1×1
+  conv → (γ, β); spatial (SPADE-like) or global-mean modulation.
+
+TPU-first: everything is NHWC; attention runs through
+`ops.attention.block_halo_attention` (XLA or fused Pallas kernel); compute
+dtype is configurable (bf16 on the MXU by default in training) with fp32
+params and fp32 softmax/accumulation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixel_heal_thyself_tpu.models.layers import ConvBlock
+from pixel_heal_thyself_tpu.ops.attention import block_halo_attention
+from pixel_heal_thyself_tpu.ops.curves import (
+    CurveOrder,
+    inverse_permutation,
+    make_curve_indices,
+)
+from pixel_heal_thyself_tpu.utils.init import (
+    kaiming_normal_fan_out,
+    normal_unit,
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
+
+
+class FiLM(nn.Module):
+    """Feature-wise linear modulation: x' = γ(cond) * x + β(cond)."""
+
+    hidden: int = 128
+    use_spatial: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        ch = x.shape[-1]
+        h = nn.Conv(
+            self.hidden,
+            (1, 1),
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(cond.shape[-1]),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(cond)
+        h = nn.relu(h)
+        gamma_beta = nn.Conv(
+            ch * 2,
+            (1, 1),
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(self.hidden),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(h)
+        if not self.use_spatial:
+            gamma_beta = jnp.mean(gamma_beta, axis=(1, 2), keepdims=True)
+        gamma, beta = jnp.split(gamma_beta, 2, axis=-1)
+        return gamma * x + beta
+
+
+class AFGSA(nn.Module):
+    """Auxiliary-feature-guided self-attention module."""
+
+    ch: int
+    block_size: int = 8
+    halo_size: int = 3
+    num_heads: int = 4
+    use_bias: bool = False
+    curve_order: CurveOrder = CurveOrder.RASTER
+    use_film: bool = False
+    use_pallas: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, noisy: jnp.ndarray, aux: jnp.ndarray) -> jnp.ndarray:
+        ch = self.ch
+        assert ch % self.num_heads == 0, "ch should be divided by # heads"
+        head_ch = ch // self.num_heads
+        window = self.block_size + 2 * self.halo_size
+
+        if self.use_film:
+            n_aux = FiLM(hidden=128, use_spatial=True, dtype=self.dtype)(noisy, aux)
+        else:
+            n_aux = ConvBlock(
+                ch,
+                kernel_size=1,
+                act_type="relu",
+                dtype=self.dtype,
+            )(jnp.concatenate([noisy, aux], axis=-1))
+
+        def proj(name, x):
+            return nn.Conv(
+                ch,
+                (1, 1),
+                use_bias=self.use_bias,
+                kernel_init=kaiming_normal_fan_out,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=name,
+            )(x)
+
+        q = proj("q_conv", n_aux)
+        k = proj("k_conv", n_aux)
+        v = proj("v_conv", noisy)
+
+        rel_h = self.param("rel_h", normal_unit, (window, head_ch // 2), jnp.float32)
+        rel_w = self.param("rel_w", normal_unit, (window, head_ch // 2), jnp.float32)
+
+        order = make_curve_indices(self.block_size, self.curve_order)
+        inv = inverse_permutation(order)
+
+        return block_halo_attention(
+            q,
+            k,
+            v,
+            rel_h,
+            rel_w,
+            jnp.asarray(order),
+            jnp.asarray(inv),
+            block_size=self.block_size,
+            halo_size=self.halo_size,
+            num_heads=self.num_heads,
+            use_pallas=self.use_pallas,
+        )
+
+
+class TransformerBlock(nn.Module):
+    """Residual attention + residual two-conv feed-forward."""
+
+    ch: int
+    block_size: int = 8
+    halo_size: int = 3
+    num_heads: int = 4
+    padding_mode: str = "reflect"
+    curve_order: CurveOrder = CurveOrder.RASTER
+    use_film: bool = False
+    use_pallas: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, noisy: jnp.ndarray, aux: jnp.ndarray):
+        noisy = noisy + AFGSA(
+            ch=self.ch,
+            block_size=self.block_size,
+            halo_size=self.halo_size,
+            num_heads=self.num_heads,
+            curve_order=self.curve_order,
+            use_film=self.use_film,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype,
+            name="attention",
+        )(noisy, aux)
+        ff = ConvBlock(
+            self.ch,
+            kernel_size=3,
+            padding=1,
+            padding_mode=self.padding_mode,
+            act_type="relu",
+            dtype=self.dtype,
+        )(noisy)
+        ff = ConvBlock(
+            self.ch,
+            kernel_size=3,
+            padding=1,
+            padding_mode=self.padding_mode,
+            act_type="relu",
+            dtype=self.dtype,
+        )(ff)
+        return noisy + ff, aux
+
+
+class AFGSANet(nn.Module):
+    """The AFGSA generator: multi-scale encoders → N transformer blocks →
+    decoder with a global residual."""
+
+    input_channels: int = 3
+    aux_input_channels: int = 7
+    base_ch: int = 256
+    num_sa: int = 5
+    block_size: int = 8
+    halo_size: int = 3
+    num_heads: int = 4
+    num_gcp: int = 2
+    padding_mode: str = "reflect"
+    curve_order: CurveOrder = CurveOrder.RASTER
+    use_film: bool = False
+    use_pallas: bool = False
+    enc_ch: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, aux: jnp.ndarray) -> jnp.ndarray:
+        assert self.num_gcp <= self.num_sa
+        in_dtype = x.dtype
+        x = x.astype(self.dtype)
+        aux = aux.astype(self.dtype)
+        cb = partial(ConvBlock, dtype=self.dtype)
+
+        n1 = cb(self.enc_ch, kernel_size=1, act_type="relu")(x)
+        n3 = cb(
+            self.enc_ch,
+            kernel_size=3,
+            padding=1,
+            padding_mode=self.padding_mode,
+            act_type="relu",
+        )(x)
+        n5 = cb(
+            self.enc_ch,
+            kernel_size=5,
+            padding=2,
+            padding_mode=self.padding_mode,
+            act_type="relu",
+        )(x)
+        out = cb(self.base_ch, kernel_size=1, act_type="relu")(
+            jnp.concatenate([n1, n3, n5], axis=-1),
+        )
+
+        a1 = cb(self.enc_ch, kernel_size=1, act_type="relu")(aux)
+        a3 = cb(
+            self.enc_ch,
+            kernel_size=3,
+            padding=1,
+            padding_mode=self.padding_mode,
+            act_type="leakyrelu",
+        )(aux)
+        a5 = cb(
+            self.enc_ch,
+            kernel_size=5,
+            padding=2,
+            padding_mode=self.padding_mode,
+            act_type="leakyrelu",
+        )(aux)
+        a = cb(self.base_ch, kernel_size=1, act_type="leakyrelu")(
+            jnp.concatenate([a1, a3, a5], axis=-1),
+        )
+        a = cb(self.base_ch, kernel_size=1, act_type="leakyrelu")(a)
+
+        for i in range(1, self.num_sa + 1):
+            block_cls = TransformerBlock
+            # gradient-checkpoint (remat) the last num_gcp blocks
+            # (reference model.py:662-687 via torch.utils.checkpoint)
+            if i > self.num_sa - self.num_gcp:
+                block_cls = nn.remat(TransformerBlock)
+            out, a = block_cls(
+                ch=self.base_ch,
+                block_size=self.block_size,
+                halo_size=self.halo_size,
+                num_heads=self.num_heads,
+                padding_mode=self.padding_mode,
+                curve_order=self.curve_order,
+                use_film=self.use_film,
+                use_pallas=self.use_pallas,
+                dtype=self.dtype,
+            )(out, a)
+
+        out = cb(
+            self.base_ch,
+            kernel_size=3,
+            padding=1,
+            padding_mode=self.padding_mode,
+            act_type="relu",
+        )(out)
+        out = cb(
+            self.base_ch,
+            kernel_size=3,
+            padding=1,
+            padding_mode=self.padding_mode,
+            act_type="relu",
+        )(out)
+        out = cb(
+            self.input_channels,
+            kernel_size=3,
+            padding=1,
+            padding_mode="zeros",
+            act_type=None,
+        )(out)
+        # global residual in fp32
+        return out.astype(jnp.float32) + x.astype(jnp.float32)
+
+
+def count_params(params) -> int:
+    """Total parameter count (reference print_model_structure analog)."""
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def describe_params(params, logger=None) -> str:
+    """Parameter table at DEBUG level (reference `model.py:19-49`)."""
+    lines = []
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    total = 0
+    for path, p in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        n = int(np.prod(p.shape))
+        total += n
+        lines.append(f"| {name:<50} | {str(p.shape):<24} | {n:<10} |")
+    lines.append(f"Total number of parameters: {total}")
+    text = "\n".join(lines)
+    if logger is not None:
+        logger.debug(text)
+    return text

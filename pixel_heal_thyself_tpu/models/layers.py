@@ -1,0 +1,130 @@
+"""Shared building blocks: conv/norm/activation factories.
+
+Behavioral spec: reference `pht/models/afgsa/model.py:52-125` (conv_block =
+Conv2d + optional BatchNorm/InstanceNorm + ReLU/LeakyReLU/PReLU). NHWC,
+explicit torch-parity padding, torch-default initializers. Normalization is
+computed from batch statistics (torch train mode); the reference never
+consumes running averages (its discriminators never switch to eval mode),
+so no running-stat state is carried — this keeps the GAN train step purely
+functional.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pixel_heal_thyself_tpu.ops.padding import pad2d
+from pixel_heal_thyself_tpu.utils.init import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
+
+
+class BatchNorm2d(nn.Module):
+    """Batch-statistics normalization with affine params (torch train mode)."""
+
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        y = (xf - mean) / jnp.sqrt(var + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class InstanceNorm2d(nn.Module):
+    """Per-sample, per-channel spatial normalization (affine=False)."""
+
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2), keepdims=True)
+        return ((xf - mean) / jnp.sqrt(var + self.eps)).astype(self.dtype)
+
+
+def apply_act(x: jnp.ndarray, act_type: Optional[str], neg_slope: float = 0.2):
+    if act_type is None:
+        return x
+    act_type = act_type.lower()
+    if act_type == "relu":
+        return nn.relu(x)
+    if act_type == "leakyrelu":
+        return nn.leaky_relu(x, negative_slope=neg_slope)
+    raise NotImplementedError(f"Activation layer [{act_type}] is not found")
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with a single learnable slope (torch nn.PReLU)."""
+
+    init_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        a = self.param(
+            "slope",
+            lambda key, shape: jnp.full(shape, self.init_slope, jnp.float32),
+            (1,),
+        )
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+
+
+class ConvBlock(nn.Module):
+    """Conv → optional norm → optional activation (reference conv_block)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    padding: int = 0
+    padding_mode: str = "zeros"
+    norm_type: Optional[str] = None
+    act_type: Optional[str] = "relu"
+    use_bias: bool = True
+    groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fan_in = self.kernel_size * self.kernel_size * x.shape[-1] // self.groups
+        x = pad2d(x, self.padding, self.padding_mode)
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding="VALID",
+            use_bias=self.use_bias,
+            feature_group_count=self.groups,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.norm_type:
+            nt = self.norm_type.lower()
+            if nt == "batch":
+                x = BatchNorm2d(dtype=self.dtype)(x)
+            elif nt == "instance":
+                x = InstanceNorm2d(dtype=self.dtype)(x)
+            else:
+                raise NotImplementedError(
+                    f"Normalization layer [{nt}] is not found",
+                )
+        if self.act_type and self.act_type.lower() == "prelu":
+            x = PReLU()(x)
+        else:
+            x = apply_act(x, self.act_type)
+        return x

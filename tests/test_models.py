@@ -1,0 +1,159 @@
+"""Model tests: shapes, torch numerical parity of primitives, grad flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from pixel_heal_thyself_tpu.models.afgsa import AFGSANet, FiLM, count_params
+from pixel_heal_thyself_tpu.models.discriminators import (
+    DiscriminatorVGG,
+    MultiScaleDiscriminator,
+    PatchDiscriminator,
+    SNConv,
+)
+from pixel_heal_thyself_tpu.models.layers import BatchNorm2d, ConvBlock
+
+
+class TestConvBlockParity:
+    @pytest.mark.parametrize("mode", ["zeros", "replicate", "reflect"])
+    def test_matches_torch_conv(self, mode):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 10, 12, 5)).astype(np.float32)
+        blk = ConvBlock(7, kernel_size=3, padding=1, padding_mode=mode, act_type="relu")
+        params = blk.init(jax.random.PRNGKey(0), x)
+        got = np.asarray(blk.apply(params, x))
+
+        w = np.asarray(params["params"]["Conv_0"]["kernel"])  # HWIO
+        b = np.asarray(params["params"]["Conv_0"]["bias"])
+        tconv = torch.nn.Conv2d(5, 7, 3, padding=1, padding_mode=mode)
+        with torch.no_grad():
+            tconv.weight.copy_(torch.from_numpy(w.transpose(3, 2, 0, 1)))
+            tconv.bias.copy_(torch.from_numpy(b))
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            want = torch.relu(tconv(tx)).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_strided(self):
+        x = np.random.default_rng(1).standard_normal((1, 8, 8, 3)).astype(np.float32)
+        blk = ConvBlock(4, kernel_size=4, stride=2, padding=1, act_type=None)
+        params = blk.init(jax.random.PRNGKey(0), x)
+        assert blk.apply(params, x).shape == (1, 4, 4, 4)
+
+
+def test_batchnorm_matches_torch_train_mode():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 6, 6, 3)).astype(np.float32) * 3 + 1
+    bn = BatchNorm2d()
+    params = bn.init(jax.random.PRNGKey(0), x)
+    got = np.asarray(bn.apply(params, x))
+    tbn = torch.nn.BatchNorm2d(3, affine=True).train()
+    want = tbn(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestFiLM:
+    def test_spatial_and_global(self):
+        x = jnp.ones((1, 8, 8, 16))
+        cond = jnp.ones((1, 8, 8, 16))
+        for spatial in (True, False):
+            m = FiLM(use_spatial=spatial)
+            p = m.init(jax.random.PRNGKey(0), x, cond)
+            assert m.apply(p, x, cond).shape == x.shape
+
+
+class TestAFGSANet:
+    def test_forward_shape_and_residual(self):
+        net = AFGSANet(base_ch=32, enc_ch=32, num_sa=2, num_gcp=1, num_heads=4)
+        x = jnp.zeros((1, 16, 16, 3))
+        aux = jnp.zeros((1, 16, 16, 7))
+        params = net.init(jax.random.PRNGKey(0), x, aux)
+        out = net.apply(params, x, aux)
+        assert out.shape == (1, 16, 16, 3)
+        assert out.dtype == jnp.float32
+
+    def test_param_count_full_model(self):
+        # full prod model: base 256, 5 blocks, 4 heads — reference scale
+        net = AFGSANet()
+        x = jnp.zeros((1, 8, 8, 3))
+        aux = jnp.zeros((1, 8, 8, 7))
+        params = net.init(jax.random.PRNGKey(0), x, aux)
+        n = count_params(params["params"])
+        # exact parity with the reference AFGSANet at prod scale
+        # (base_ch 256, 5 blocks, 4 heads, block 8, halo 3): encoders
+        # 224,512 + 326,144; 5×1,508,992 transformer blocks; decoder
+        # 1,187,075 — counted from reference model.py:585-733 layer dims
+        assert n == 9_282_691, n
+
+    def test_grad_flows_through_remat(self):
+        net = AFGSANet(base_ch=16, enc_ch=16, num_sa=2, num_gcp=2, num_heads=2)
+        x = jnp.ones((1, 8, 8, 3))
+        aux = jnp.ones((1, 8, 8, 7))
+        params = net.init(jax.random.PRNGKey(0), x, aux)
+
+        def loss(p):
+            return jnp.mean(net.apply(p, x, aux) ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree.leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+    def test_bf16_compute(self):
+        net = AFGSANet(base_ch=16, enc_ch=16, num_sa=1, num_gcp=0, num_heads=2, dtype=jnp.bfloat16)
+        x = jnp.ones((1, 8, 8, 3))
+        aux = jnp.ones((1, 8, 8, 7))
+        params = net.init(jax.random.PRNGKey(0), x, aux)
+        out = net.apply(params, x, aux)
+        assert out.dtype == jnp.float32  # residual output promoted
+        # params stay fp32
+        assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params["params"]))
+
+
+class TestDiscriminators:
+    @pytest.mark.parametrize("size", [32, 64])
+    def test_vgg_shapes(self, size):
+        d = DiscriminatorVGG(input_size=size)
+        x = jnp.zeros((2, size, size, 3))
+        p = d.init(jax.random.PRNGKey(0), x)
+        out = d.apply(p, x)
+        assert out.shape == (2, 1)
+
+    def test_snconv_normalizes_spectral_norm(self):
+        x = jnp.ones((1, 8, 8, 3))
+        m = SNConv(4, kernel_size=3, stride=1, padding=1)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        # run power iteration a few times, updating u
+        var = variables
+        for _ in range(30):
+            _, updates = m.apply(var, x, mutable=["spectral"])
+            var = {**var, "spectral": updates["spectral"]}
+        kernel = np.asarray(var["params"]["kernel"])
+        u = np.asarray(var["spectral"]["u"])
+        w = kernel.transpose(3, 0, 1, 2).reshape(4, -1)
+        sigma_true = np.linalg.svd(w, compute_uv=False)[0]
+        v = w.T @ u
+        v /= np.linalg.norm(v)
+        u2 = w @ v
+        u2 /= np.linalg.norm(u2)
+        sigma_est = u2 @ w @ v
+        assert abs(sigma_est - sigma_true) / sigma_true < 1e-3
+
+    def test_patch_discriminator_output_map(self):
+        d = PatchDiscriminator(input_size=32)
+        x = jnp.zeros((2, 32, 32, 3))
+        p = d.init(jax.random.PRNGKey(0), x)
+        out = d.apply(p, x)
+        assert out.ndim == 4 and out.shape[0] == 2 and out.shape[-1] == 1
+        assert out.shape[1] >= 3  # ~4x4 patch logit map
+
+    def test_multiscale_returns_three(self):
+        d = MultiScaleDiscriminator(patch_size=32)
+        x = jnp.zeros((1, 32, 32, 3))
+        p = d.init(jax.random.PRNGKey(0), x)
+        outs = d.apply(p, x)
+        assert len(outs) == 3
+        # per-scale depth adapts so each final logit map stays ~4x4
+        assert all(o.ndim == 4 and o.shape[-1] == 1 and o.shape[1] >= 3 for o in outs)
