@@ -1,0 +1,172 @@
+"""HDF5 patch-store construction.
+
+Behavioral spec: reference `pht/models/afgsa/gen_hdf5.py:15-195` — walk
+`<images>/{<n>spp,<gt>spp}` pairing EXRs by `name_idx`, shuffle, seed
+train.h5/val.h5 from the first two files (gzip, chunked, resizable
+noisy/gt/aux datasets), split the rest 95/5 across train/val queues, and
+append patches from worker processes under a write lock.
+
+This machine-class runs single-digit host cores; workers are threads (the
+EXR decode + numpy sampling release the GIL in numpy/zlib) with a
+process-pool escape hatch. Worker RNG seeding (seed + worker_id) matches
+the reference for determinism.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+from pixel_heal_thyself_tpu.data.preprocessing import get_cropped_patches
+from pixel_heal_thyself_tpu.logger import logger
+
+
+class Hdf5Constructor:
+    """Build {train,val}.h5 patch stores from an EXR image tree."""
+
+    def __init__(
+        self,
+        data_path: str,
+        save_path: str,
+        patch_size: int,
+        num_patches: int,
+        seed: int,
+        train_val_ratio: float,
+        scale: float = 1.0,
+        noisy_spp: int = 32,
+        gt_spp: int = 1024,
+        deterministic: bool = True,
+        num_workers: int | None = None,
+    ) -> None:
+        self.data_path = data_path
+        self.save_path = save_path
+        self.patch_size = patch_size
+        self.num_patches = num_patches
+        self.seed = seed
+        self.train_val_ratio = (train_val_ratio, 1 - train_val_ratio)
+        self.noisy_spp = noisy_spp
+        self.gt_spp = gt_spp
+        self.deterministic = deterministic
+        self.scale = scale
+        self.num_workers = num_workers or max(1, (os.cpu_count() or 2) - 1)
+        self.paths: list[tuple[str, str]] = []
+
+    def construct_hdf5(self) -> None:
+        logger.info("Constructing data set (hdf5)")
+        self.get_exr_paths()
+        self._build_patch_stores()
+        logger.info("Constructing data set (hdf5): done")
+
+    def get_exr_paths(self) -> None:
+        """Pair noisy/GT EXRs by `<scene>_<idx>` and shuffle (seeded)."""
+        noisy_root = Path(self.data_path) / f"{self.noisy_spp}spp"
+        gt_root = Path(self.data_path) / f"{self.gt_spp}spp"
+        gt_paths, exr_paths = [], []
+        for file in sorted(os.listdir(gt_root)):
+            if not file.endswith(".exr"):
+                continue
+            parts = file.split("_")
+            stem = f"{parts[0]}_{parts[1]}"
+            gt = str(gt_root / f"{stem}_{self.gt_spp}")
+            noisy = str(noisy_root / f"{stem}_{self.noisy_spp}")
+            if gt not in gt_paths:
+                gt_paths.append(gt)
+                exr_paths.append(noisy)
+        if len(exr_paths) != len(gt_paths):
+            raise RuntimeError("#samples does not equal #gts, check the data!")
+        self.paths = list(zip(exr_paths, gt_paths))
+        random.Random(self.seed).shuffle(self.paths)
+
+    def _build_patch_stores(self) -> None:
+        if len(self.paths) < 2:
+            raise RuntimeError(
+                f"need at least 2 EXR pairs under {self.data_path}, "
+                f"found {len(self.paths)}",
+            )
+        rng = random.Random(self.seed)
+        train_save = os.path.join(self.save_path, "train.h5")
+        val_save = os.path.join(self.save_path, "val.h5")
+        path_map = {"train": train_save, "val": val_save}
+        shapes = {
+            "noisy": (None, self.patch_size, self.patch_size, 3),
+            "gt": (None, self.patch_size, self.patch_size, 3),
+            "aux": (None, self.patch_size, self.patch_size, 7),
+        }
+
+        # first two pairs seed the two stores
+        logger.info("Initiating h5py files")
+        for i, split in enumerate(["train", "val"]):
+            cropped, _ = get_cropped_patches(
+                self.paths[i][0],
+                self.paths[i][1],
+                self.patch_size,
+                self.num_patches,
+                rng,
+                scale=self.scale,
+            )
+            with h5py.File(path_map[split], "w") as hf:
+                for key, maxshape in shapes.items():
+                    data = np.array([c[key] for c in cropped], np.float32)
+                    hf.create_dataset(
+                        key,
+                        data=data,
+                        maxshape=maxshape,
+                        compression="gzip",
+                        chunks=True,
+                    )
+
+        # remaining pairs split train/val and consumed by workers
+        work: queue.Queue = queue.Queue()
+        n_rest = len(self.paths) - 2
+        n_train = int(self.train_val_ratio[0] * n_rest)
+        for j, pair in enumerate(self.paths[2:]):
+            work.put(("train" if j < n_train else "val", pair))
+
+        lock = threading.Lock()
+        done = {"count": 0}
+
+        def worker(worker_id: int) -> None:
+            wrng = (
+                random.Random(self.seed + worker_id)
+                if self.deterministic
+                else random.Random()
+            )
+            while True:
+                try:
+                    split, pair = work.get_nowait()
+                except queue.Empty:
+                    return
+                cropped, _ = get_cropped_patches(
+                    pair[0],
+                    pair[1],
+                    self.patch_size,
+                    self.num_patches,
+                    wrng,
+                    scale=self.scale,
+                )
+                with lock:
+                    done["count"] += 1
+                    logger.info(
+                        f"Generating patches: {done['count']} / {n_rest}",
+                    )
+                    with h5py.File(path_map[split], "a") as hf:
+                        for key in shapes:
+                            batch = np.array([c[key] for c in cropped], np.float32)
+                            hf[key].resize(hf[key].shape[0] + len(batch), axis=0)
+                            hf[key][-len(batch):] = batch
+
+        threads = [
+            threading.Thread(target=worker, args=(i,))
+            for i in range(min(self.num_workers, max(1, n_rest)))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        logger.info("Generating patches: done")
