@@ -1,0 +1,92 @@
+"""Benchmark: training patches/sec/chip at 128×128 (the BASELINE metric).
+
+Runs the full prod-scale GAN train step (AFGSA base_ch 256, 5 blocks,
+batch 8, WGAN-GP, both optimizer updates) on synthetic batches and prints
+ONE JSON line.
+
+`vs_baseline` is measured against REF_A100_PATCHES_PER_SEC — an estimate
+of the PyTorch reference's throughput on its A100-class hardware, since
+the reference publishes no numbers (BASELINE.md): fp32/TF32 torch training
+of the same 9.3M-param model with per-batch host preprocessing,
+~1.3 TFLOP/sample effective. The north-star target is vs_baseline ≥ 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_A100_PATCHES_PER_SEC = 40.0  # documented estimate, see module docstring
+
+PATCH = 128
+BATCH = 8
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    from pixel_heal_thyself_tpu.config import LossesConfig
+    from pixel_heal_thyself_tpu.models.afgsa import AFGSANet
+    from pixel_heal_thyself_tpu.models.discriminators import DiscriminatorVGG
+    from pixel_heal_thyself_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    g_model = AFGSANet(dtype=jnp.bfloat16)
+    d_model = DiscriminatorVGG(input_size=PATCH, dtype=jnp.bfloat16)
+    g_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
+    d_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
+
+    noisy0 = jnp.zeros((BATCH, PATCH, PATCH, 3))
+    aux0 = jnp.zeros((BATCH, PATCH, PATCH, 7))
+    gstate = init_train_state(g_model, g_tx, jax.random.PRNGKey(0), noisy0, aux0)
+    dstate = init_train_state(d_model, d_tx, jax.random.PRNGKey(1), noisy0)
+    step_fn = make_train_step(
+        g_model, d_model, LossesConfig(), False, g_tx, d_tx,
+    )
+
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "noisy": jnp.asarray(
+            np.abs(rng_np.standard_normal((BATCH, PATCH, PATCH, 3))).astype(np.float32),
+        ),
+        "gt": jnp.asarray(
+            np.abs(rng_np.standard_normal((BATCH, PATCH, PATCH, 3))).astype(np.float32),
+        ),
+        "aux": jnp.asarray(
+            rng_np.standard_normal((BATCH, PATCH, PATCH, 7)).astype(np.float32),
+        ),
+    }
+    rng = jax.random.PRNGKey(7)
+
+    for _ in range(WARMUP):
+        gstate, dstate, metrics = step_fn(gstate, dstate, batch, rng)
+    jax.block_until_ready(metrics["g_loss"])
+
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        gstate, dstate, metrics = step_fn(gstate, dstate, batch, rng)
+    jax.block_until_ready(metrics["g_loss"])
+    elapsed = time.perf_counter() - start
+
+    patches_per_sec = BATCH * ITERS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "train_patches_per_sec_128px",
+                "value": round(patches_per_sec, 2),
+                "unit": "patches/sec/chip",
+                "vs_baseline": round(patches_per_sec / REF_A100_PATCHES_PER_SEC, 3),
+            },
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()

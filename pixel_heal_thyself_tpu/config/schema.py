@@ -30,6 +30,10 @@ class PathConfig:
 class ImagesConfig:
     dir: str = "data/images"
     scale: float = 1.0
+    # generate synthetic scenes when dir is missing (CI/tests; the
+    # reference's bundled CI EXRs are not redistributable)
+    synthesize: bool = False
+    synthetic_size: int = 128
 
 
 @dataclass

@@ -38,6 +38,7 @@ class Logger(metaclass=SingletonMeta):
 
     def __init__(self, log_level: str = "INFO") -> None:
         self._logger = logging.getLogger("pht_tpu")
+        self._logger.propagate = False  # avoid duplicate lines via root
         if not self._logger.handlers:
             handler = logging.StreamHandler(sys.__stdout__)
             handler.setFormatter(

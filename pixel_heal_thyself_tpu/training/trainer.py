@@ -1,0 +1,392 @@
+"""The training runtime: dataset build-if-missing, GAN loop, validation.
+
+Behavioral spec: reference `pht/models/base_trainer.py:83-595` and the
+per-model trainers (`pht/models/afgsa/train.py:11-37`,
+`pht/models/mamba/train.py:13-45`):
+
+- determinism setup seeded from cfg.seed; padding_mode = replicate when
+  deterministic else reflect (`base_trainer.py:334`);
+- patch stores built on first run (`:245-262`);
+- alternating WGAN-GP (or RaHinge-multiscale) training with Adam(1e-4) and
+  MultiStepLR-parity decay;
+- per-epoch `train_loss.txt` lines `Epoch: N \tG loss: x \tD Loss: y`;
+- per-`save_interval` validation with PSNR/SSIM/MRSE into `evaluation.txt`
+  lines `Validation: N \tAvg MRSE: a \tAvg PSNR: b \tAvg 1-SSIM: c`
+  (field strings preserved — `tools/runs_analysis.py` regex-parses them);
+- validation PNG panels every `save_img_interval`;
+- checkpoints under `model_epoch{N}` — here full Orbax state with a
+  *working* resume (the reference's `load_model` path was broken,
+  SURVEY.md §5).
+
+TPU-first: the train step is one compiled XLA program (train_step.py);
+host work is only the prefetch feed and the metric epilogue.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixel_heal_thyself_tpu.config import Config
+from pixel_heal_thyself_tpu.data.dataset import PatchDataset, PrefetchLoader
+from pixel_heal_thyself_tpu.data.hdf5 import Hdf5Constructor
+from pixel_heal_thyself_tpu.data.preprocessing import postprocess_specular
+from pixel_heal_thyself_tpu.logger import logger
+from pixel_heal_thyself_tpu.metrics import (
+    calculate_psnr,
+    calculate_rmse,
+    calculate_ssim,
+)
+from pixel_heal_thyself_tpu.models.afgsa import AFGSANet, count_params, describe_params
+from pixel_heal_thyself_tpu.models.discriminators import (
+    DiscriminatorVGG,
+    MultiScaleDiscriminator,
+)
+from pixel_heal_thyself_tpu.training import checkpoints
+from pixel_heal_thyself_tpu.training.train_step import (
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    multistep_milestone_epochs,
+)
+from pixel_heal_thyself_tpu.utils import run_once_multiprocessing
+from pixel_heal_thyself_tpu.utils.images import (
+    create_folder,
+    save_img_group,
+    tensor2img,
+)
+
+
+@run_once_multiprocessing
+def set_determinism(seed: int, deterministic: bool = True, _prefix=None) -> None:
+    """Seed host RNGs (reference `base_trainer.py:50-67`). Device-side
+    determinism comes from explicit jax.random keys."""
+    random.seed(seed)
+    np.random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+
+
+class BaseTrainer:
+    """Model-agnostic GAN trainer; subclasses provide the generator."""
+
+    def __init__(self, cfg: Config) -> None:
+        self.cfg = cfg
+        self.deterministic = cfg.trainer.deterministic
+        self.model_name = self.__class__.__name__.replace("Trainer", "")
+        set_determinism(cfg.seed, self.deterministic, self.model_name)
+        self.padding_mode = "replicate" if self.deterministic else "reflect"
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.trainer.precision == "bf16" else jnp.float32
+        )
+        if cfg.trainer.precision == "fp32":
+            # keep fp32 matmuls genuinely fp32 on the MXU
+            jax.config.update("jax_default_matmul_precision", "highest")
+
+    # -- factories -------------------------------------------------------
+    def create_generator(self):
+        raise NotImplementedError
+
+    def create_discriminator(self):
+        if self.cfg.model.discriminator.use_multiscale_discriminator:
+            return MultiScaleDiscriminator(
+                in_nc=self.cfg.model.input_channels,
+                patch_size=self.cfg.data.patches.patch_size,
+                dtype=self.compute_dtype,
+            )
+        return DiscriminatorVGG(
+            in_nc=3,
+            base_nf=64,
+            input_size=self.cfg.data.patches.patch_size,
+            dtype=self.compute_dtype,
+        )
+
+    # -- data ------------------------------------------------------------
+    def setup_dataloaders(self):
+        patches_dir = self.cfg.data.patches.dir
+        train_path = os.path.join(patches_dir, "train.h5")
+        val_path = os.path.join(patches_dir, "val.h5")
+        if not (os.path.exists(train_path) and os.path.exists(val_path)):
+            if self.cfg.data.images.synthesize and not os.path.isdir(
+                self.cfg.data.images.dir,
+            ):
+                from pixel_heal_thyself_tpu.data.synthetic import generate_dataset
+
+                logger.info(
+                    f"Images dir {self.cfg.data.images.dir} missing — "
+                    "generating synthetic scenes",
+                )
+                generate_dataset(
+                    self.cfg.data.images.dir,
+                    height=self.cfg.data.images.synthetic_size,
+                    width=self.cfg.data.images.synthetic_size,
+                    seed=self.cfg.seed,
+                )
+            logger.info(f"Creating dataset: patches in {patches_dir}")
+            os.makedirs(patches_dir, exist_ok=True)
+            Hdf5Constructor(
+                self.cfg.data.images.dir,
+                patches_dir,
+                self.cfg.data.patches.patch_size,
+                self.cfg.data.patches.num_patches,
+                self.cfg.seed,
+                self.cfg.data_ratio,
+                scale=self.cfg.data.images.scale,
+                deterministic=self.deterministic,
+            ).construct_hdf5()
+
+        train_ds = PatchDataset(train_path)
+        val_ds = PatchDataset(val_path)
+        train_loader = PrefetchLoader(
+            train_ds,
+            batch_size=self.cfg.trainer.batch_size,
+            shuffle=True,
+            seed=self.cfg.seed if self.deterministic else None,
+            prefetch=self.cfg.trainer.prefetch_batches,
+        )
+        val_loader = PrefetchLoader(
+            val_ds, batch_size=1, shuffle=False, prefetch=2,
+        )
+        return train_loader, val_loader, len(train_ds), len(val_ds)
+
+    def print_training_config(self) -> None:
+        cfg = self.cfg
+        logger.info(f"Creating {self.model_name}")
+        logger.info(f"{self.model_name} padding mode: {self.padding_mode}")
+        logger.info(f"{self.model_name} curve order: {cfg.model.curve_order}")
+        logger.info(f"{self.model_name} L1 lossW: {cfg.model.losses.l1_loss_w}")
+        logger.info(f"{self.model_name} GAN lossW: {cfg.model.losses.gan_loss_w}")
+        logger.info(f"{self.model_name} GP lossW: {cfg.model.losses.gp_loss_w}")
+        logger.info(f"{self.model_name} precision: {cfg.trainer.precision}")
+        if cfg.model.losses.use_ssim_loss:
+            logger.info(f"{self.model_name} SSIM lossW: {cfg.model.losses.ssim_loss_w}")
+        if cfg.model.discriminator.use_multiscale_discriminator:
+            logger.info(f"{self.model_name} multiscale discriminator")
+        if cfg.model.use_film:
+            logger.info(f"{self.model_name} use FiLM")
+
+    # -- training --------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.cfg
+        logger.info(
+            f"Starting training: model={self.model_name}, seed={cfg.seed}, "
+            f"batch_size={cfg.trainer.batch_size}, epochs={cfg.trainer.epochs}",
+        )
+        logger.info(f"Loading dataset: patches from {cfg.data.patches.dir}")
+        train_loader, val_loader, n_train, n_val = self.setup_dataloaders()
+
+        self.print_training_config()
+        g_model = self.create_generator()
+        d_model = self.create_discriminator()
+
+        batch_size = cfg.trainer.batch_size
+        total_iterations = math.ceil(n_train / batch_size)
+        milestones = multistep_milestone_epochs(
+            cfg.trainer.epochs, cfg.trainer.lr_milestone,
+        )
+        g_tx = make_optimizer(
+            cfg.trainer.lr_g, milestones, cfg.trainer.lr_gamma, total_iterations,
+            betas=tuple(cfg.trainer.optim.betas), eps=cfg.trainer.optim.eps,
+        )
+        d_tx = make_optimizer(
+            cfg.trainer.lr_d, milestones, cfg.trainer.lr_gamma, total_iterations,
+            betas=tuple(cfg.trainer.optim.betas), eps=cfg.trainer.optim.eps,
+        )
+
+        patch = cfg.data.patches.patch_size
+        rng = jax.random.PRNGKey(cfg.seed)
+        g_rng, d_rng, step_rng = jax.random.split(rng, 3)
+        sample_noisy = jnp.zeros((batch_size, patch, patch, 3))
+        sample_aux = jnp.zeros((batch_size, patch, patch, 7))
+        gstate = init_train_state(g_model, g_tx, g_rng, sample_noisy, sample_aux)
+        dstate = init_train_state(d_model, d_tx, d_rng, sample_noisy)
+
+        start_epoch = 0
+        if cfg.trainer.load_model and cfg.trainer.model_path:
+            gstate, dstate, start_epoch = checkpoints.restore_checkpoint(
+                cfg.trainer.model_path, gstate, dstate,
+            )
+            start_epoch += 1
+            logger.info(
+                f"Resumed from {cfg.trainer.model_path} at epoch {start_epoch}",
+            )
+
+        logger.debug(describe_params(gstate.params))
+        logger.info(
+            f"{self.model_name} G params: {count_params(gstate.params):,} | "
+            f"D params: {count_params(dstate.params):,}",
+        )
+
+        step_fn = make_train_step(
+            g_model,
+            d_model,
+            cfg.model.losses,
+            cfg.model.discriminator.use_multiscale_discriminator,
+            g_tx,
+            d_tx,
+        )
+        eval_fn = make_eval_step(g_model)
+
+        root_save_path = cfg.paths.output_dir
+        os.makedirs(root_save_path, exist_ok=True)
+        save_img_interval = max(1, n_val // max(1, cfg.trainer.num_saved_imgs))
+
+        logger.info("Start training")
+        for epoch in range(start_epoch, cfg.trainer.epochs):
+            start = time.time()
+            # metrics stay on device during the epoch — no per-iteration
+            # host sync, so dispatch runs ahead of the chip
+            epoch_metrics: list[dict] = []
+            end = start
+            i_batch = -1
+            for i_batch, batch in enumerate(train_loader):
+                end_io = time.time()
+                io_took = end_io - end
+                gstate, dstate, metrics = step_fn(gstate, dstate, batch, step_rng)
+                epoch_metrics.append(metrics)
+                if i_batch % 10 == 0 or i_batch == total_iterations - 1:
+                    # sync point only on logging iterations
+                    g_l = float(metrics["g_loss"])
+                    d_l = float(metrics["d_loss"])
+                    iter_took = time.time() - end
+                    logger.debug(
+                        f"[Train] epoch={epoch + 1} iter={i_batch + 1}/{total_iterations} "
+                        f"g_loss={g_l / batch_size:.4f} d_loss={d_l / batch_size:.4f} "
+                        f"iter_time={iter_took:.2f}s io_time={io_took:.2f}s",
+                    )
+                end = time.time()
+
+            n_iters = i_batch + 1
+            epoch_g = float(
+                np.sum([np.asarray(m["g_loss"]) for m in epoch_metrics]),
+            ) / batch_size / max(1, n_iters)
+            epoch_d = float(
+                np.sum([np.asarray(m["d_loss"]) for m in epoch_metrics]),
+            ) / batch_size / max(1, n_iters)
+            logger.info(
+                f"[Train] epoch={epoch + 1} summary: g_loss={epoch_g:.4f} "
+                f"d_loss={epoch_d:.4f} time={int(end - start)}s "
+                f"({n_train / max(1e-9, end - start):.1f} patches/sec)",
+            )
+            with open(os.path.join(root_save_path, "train_loss.txt"), "a") as f:
+                f.write(
+                    f"Epoch: {epoch + 1} \tG loss: {epoch_g:.4f} "
+                    f"\tD Loss: {epoch_d:.4f}\n",
+                )
+
+            if epoch % cfg.trainer.save_interval == 0:
+                self._validate_and_save(
+                    epoch,
+                    gstate,
+                    dstate,
+                    eval_fn,
+                    val_loader,
+                    n_val,
+                    root_save_path,
+                    save_img_interval,
+                )
+
+    # -- validation ------------------------------------------------------
+    def _validate_and_save(
+        self,
+        epoch: int,
+        gstate,
+        dstate,
+        eval_fn,
+        val_loader,
+        n_val: int,
+        root_save_path: str,
+        save_img_interval: int,
+    ) -> None:
+        current_save_path = create_folder(
+            os.path.join(root_save_path, f"model_epoch{epoch + 1}"),
+        )
+        checkpoints.save_checkpoint(
+            Path(current_save_path) / "state", gstate, dstate, epoch,
+        )
+
+        avg_psnr = avg_ssim = avg_mrse = 0.0
+        start = time.time()
+        for i_batch, batch in enumerate(val_loader):
+            output, noisy, gt = eval_fn(gstate.params, batch)
+            output_lin = postprocess_specular(np.asarray(output, np.float64))
+            gt_lin = np.asarray(gt, np.float64)
+            noisy_255 = tensor2img(np.asarray(noisy), post_spec=True)
+            output_255 = tensor2img(np.asarray(output), post_spec=True)
+            gt_255 = tensor2img(gt_lin)
+
+            if i_batch % save_img_interval == 0:
+                save_img_group(
+                    current_save_path, i_batch, noisy_255, output_255, gt_255,
+                )
+
+            avg_mrse += calculate_rmse(output_lin, gt_lin)
+            avg_psnr += calculate_psnr(output_255, gt_255)
+            avg_ssim += calculate_ssim(output_255, gt_255)
+
+        end = time.time()
+        avg_mrse /= n_val
+        avg_psnr /= n_val
+        avg_ssim /= n_val
+        logger.info(
+            f"[Val] epoch={epoch + 1} summary: avg_mrse={avg_mrse:.4f} "
+            f"avg_psnr={avg_psnr:.4f} avg_1-ssim={1 - avg_ssim:.4f} "
+            f"time={int(end - start)}s",
+        )
+        with open(os.path.join(root_save_path, "evaluation.txt"), "a") as f:
+            f.write(
+                f"Validation: {epoch + 1} \tAvg MRSE: {avg_mrse:.4f} "
+                f"\tAvg PSNR: {avg_psnr:.4f} \tAvg 1-SSIM: {1 - avg_ssim:.4f}\n",
+            )
+
+
+class AFGSATrainer(BaseTrainer):
+    """AFGSA generator factory (reference `pht/models/afgsa/train.py`)."""
+
+    def create_generator(self) -> AFGSANet:
+        m = self.cfg.model
+        return AFGSANet(
+            input_channels=m.input_channels,
+            aux_input_channels=m.aux_input_channels,
+            base_ch=m.feature_map_channels,
+            num_sa=m.self_attention.num_layers,
+            block_size=m.self_attention.block_size,
+            halo_size=m.self_attention.halo_size,
+            num_heads=m.self_attention.num_heads,
+            num_gcp=m.num_gradient_checkpoints,
+            padding_mode=self.padding_mode,
+            curve_order=m.curve_order,
+            use_film=m.use_film,
+            dtype=self.compute_dtype,
+        )
+
+
+class MambaTrainer(BaseTrainer):
+    """Mamba generator factory (reference `pht/models/mamba/train.py`)."""
+
+    def create_generator(self):
+        from pixel_heal_thyself_tpu.models.mamba import MambaDenoiserNet
+
+        m = self.cfg.model
+        return MambaDenoiserNet(
+            input_channels=m.input_channels,
+            aux_input_channels=m.aux_input_channels,
+            base_ch=m.feature_map_channels,
+            height=self.cfg.data.patches.patch_size,
+            width=self.cfg.data.patches.patch_size,
+            num_blocks=m.num_layers,
+            d_state=m.d_state,
+            d_conv=m.d_conv,
+            expansion=m.expansion,
+            headdim=m.headdim,
+            num_gcp=m.num_gradient_checkpoints,
+            padding_mode=self.padding_mode,
+            dtype=self.compute_dtype,
+        )
