@@ -1,0 +1,309 @@
+"""Mamba2 state-space denoiser (flax, NHWC, TPU-first).
+
+Behavioral spec: reference `pht/models/mamba/model.py` —
+- MambaBlock (:38-98): LayerNorm → flatten NCHW→(B, H·W, C) raster scan →
+  Mamba2 → residual; then a residual two-conv FFN. The aux branch is
+  encoded but not consumed by the block (reference quirk, `model.py:83` —
+  preserved).
+- MambaDenoiserNet (:101-238): the same multi-scale conv encoder/aux
+  encoder/decoder skeleton as AFGSANet, with a sinusoidal 2-D positional
+  encoding added after encoding and Mamba blocks in the middle;
+  `decoder(out) + noisy` residual.
+- PositionalEncoding2D (:296-324): even channels sin(y·ω), odd cos(x·ω).
+
+The Mamba2 layer itself follows the Mamba2 architecture (Dao & Gu 2024)
+that `mamba_ssm.Mamba2` implements: in_proj → (z, x, B, C, dt); causal
+depthwise conv over (x, B, C); SiLU; scalar-per-head SSD scan
+(`ops/ssd.py`, chunked matmul form on the MXU); gated RMSNorm; out_proj.
+Defaults d_state=64, d_conv=4, expand=4, headdim=64 match the reference
+config (`config/model/mamba.yaml`).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixel_heal_thyself_tpu.models.layers import ConvBlock
+from pixel_heal_thyself_tpu.ops.conv import causal_depthwise_conv1d
+from pixel_heal_thyself_tpu.ops.ssd import ssd_chunked
+from pixel_heal_thyself_tpu.utils.init import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
+
+
+class RMSNormGated(nn.Module):
+    """RMSNorm(x * silu(z)) with learned scale — Mamba2's gated norm."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (d,), jnp.float32)
+        x = x * jax.nn.silu(z)
+        xf = x.astype(jnp.float32)
+        rms = jax.lax.rsqrt(jnp.mean(xf**2, axis=-1, keepdims=True) + self.eps)
+        return (xf * rms * weight).astype(x.dtype)
+
+
+class Mamba2Layer(nn.Module):
+    """Sequence mixer: [B, L, D] → [B, L, D]."""
+
+    d_model: int
+    d_state: int = 64
+    d_conv: int = 4
+    expand: int = 4
+    headdim: int = 64
+    ngroups: int = 1
+    chunk_size: int = 128
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    A_init_range: tuple = (1.0, 16.0)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        d_inner = self.expand * self.d_model
+        nheads = d_inner // self.headdim
+        assert d_inner % self.headdim == 0
+        conv_dim = d_inner + 2 * self.ngroups * self.d_state
+        b, l, _ = u.shape
+
+        zxbcdt = nn.Dense(
+            2 * d_inner + 2 * self.ngroups * self.d_state + nheads,
+            use_bias=False,
+            kernel_init=torch_default_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="in_proj",
+        )(u.astype(self.dtype))
+        z, xBC, dt_raw = jnp.split(
+            zxbcdt, [d_inner, d_inner + conv_dim], axis=-1,
+        )
+
+        conv_w = self.param(
+            "conv1d_weight",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32,
+                -1.0 / math.sqrt(self.d_conv), 1.0 / math.sqrt(self.d_conv),
+            ),
+            (self.d_conv, conv_dim),
+        )
+        conv_b = self.param(
+            "conv1d_bias",
+            torch_default_bias_init(self.d_conv),
+            (conv_dim,),
+            jnp.float32,
+        )
+        xBC = jax.nn.silu(
+            causal_depthwise_conv1d(xBC, conv_w, conv_b),
+        )
+        x, B, C = jnp.split(
+            xBC,
+            [d_inner, d_inner + self.ngroups * self.d_state],
+            axis=-1,
+        )
+
+        # dt bias: inverse-softplus of log-uniform[dt_min, dt_max]
+        def dt_bias_init(key, shape):
+            r = jax.random.uniform(key, shape, jnp.float32)
+            dt = jnp.exp(
+                r * (math.log(self.dt_max) - math.log(self.dt_min))
+                + math.log(self.dt_min),
+            )
+            dt = jnp.clip(dt, 1e-4, None)
+            return dt + jnp.log(-jnp.expm1(-dt))
+
+        dt_bias = self.param("dt_bias", dt_bias_init, (nheads,))
+        dt = jax.nn.softplus(
+            dt_raw.astype(jnp.float32) + dt_bias,
+        )  # [b, l, nheads]
+
+        def A_log_init(key, shape):
+            lo, hi = self.A_init_range
+            return jnp.log(jax.random.uniform(key, shape, jnp.float32, lo, hi))
+
+        A_log = self.param("A_log", A_log_init, (nheads,))
+        A = -jnp.exp(A_log)
+        D = self.param("D", nn.initializers.ones, (nheads,), jnp.float32)
+
+        y = ssd_chunked(
+            x.reshape(b, l, nheads, self.headdim),
+            dt.astype(self.dtype),
+            A.astype(self.dtype),
+            B.reshape(b, l, self.ngroups, self.d_state),
+            C.reshape(b, l, self.ngroups, self.d_state),
+            D.astype(self.dtype),
+            chunk=self.chunk_size,
+        ).reshape(b, l, d_inner)
+
+        y = RMSNormGated(name="norm")(y, z)
+        return nn.Dense(
+            self.d_model,
+            use_bias=False,
+            kernel_init=torch_default_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="out_proj",
+        )(y)
+
+
+class LayerNormTorch(nn.Module):
+    """torch nn.LayerNorm parity (elementwise affine, eps 1e-5)."""
+
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class MambaBlock(nn.Module):
+    """LayerNorm → raster-scan Mamba2 → residual → residual conv FFN."""
+
+    ch: int
+    d_state: int = 64
+    d_conv: int = 4
+    expansion: int = 4
+    headdim: int = 64
+    padding_mode: str = "reflect"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, noisy: jnp.ndarray, aux: jnp.ndarray):
+        b, h, w, c = noisy.shape
+        flat = noisy.reshape(b, h * w, c)
+        normed = LayerNormTorch(dtype=self.dtype, name="norm1")(flat)
+        mixed = Mamba2Layer(
+            d_model=c,
+            d_state=self.d_state,
+            d_conv=self.d_conv,
+            expand=self.expansion,
+            headdim=self.headdim,
+            dtype=self.dtype,
+            name="mamba",
+        )(normed)
+        noisy = noisy + mixed.reshape(b, h, w, c)
+        ff = ConvBlock(
+            self.ch, kernel_size=3, padding=1,
+            padding_mode=self.padding_mode, act_type="relu", dtype=self.dtype,
+        )(noisy)
+        ff = ConvBlock(
+            self.ch, kernel_size=3, padding=1,
+            padding_mode=self.padding_mode, act_type="relu", dtype=self.dtype,
+        )(ff)
+        return noisy + ff, aux
+
+
+def positional_encoding_2d(channels: int, height: int, width: int) -> np.ndarray:
+    """Sinusoidal 2-D encoding (reference `mamba/model.py:296-324`):
+    even channels sin(y·ω_k), odd channels cos(x·ω_k)."""
+    pe = np.zeros((channels, height, width), np.float32)
+    y_pos = np.repeat(np.arange(height)[:, None], width, axis=1)
+    x_pos = np.repeat(np.arange(width)[None, :], height, axis=0)
+    div = np.exp(np.arange(0, channels, 2) * -(math.log(10000.0) / channels))
+    pe[0::2] = np.sin(y_pos[None, :, :] * div[:, None, None])
+    pe[1::2] = np.cos(x_pos[None, :, :] * div[: channels // 2, None, None])
+    return pe.transpose(1, 2, 0)  # HWC
+
+
+class MambaDenoiserNet(nn.Module):
+    """Multi-scale conv encoders + positional encoding + Mamba blocks +
+    decoder with global residual."""
+
+    input_channels: int = 3
+    aux_input_channels: int = 7
+    base_ch: int = 256
+    height: int = 128
+    width: int = 128
+    num_blocks: int = 5
+    d_state: int = 64
+    d_conv: int = 4
+    expansion: int = 4
+    headdim: int = 64
+    num_gcp: int = 2
+    padding_mode: str = "reflect"
+    enc_ch: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, noisy: jnp.ndarray, aux: jnp.ndarray) -> jnp.ndarray:
+        assert self.num_gcp <= self.num_blocks
+        x_in = noisy
+        noisy = noisy.astype(self.dtype)
+        aux = aux.astype(self.dtype)
+        cb = partial(ConvBlock, dtype=self.dtype)
+
+        n1 = cb(self.enc_ch, kernel_size=1, act_type="relu")(noisy)
+        n3 = cb(
+            self.enc_ch, kernel_size=3, padding=1,
+            padding_mode=self.padding_mode, act_type="relu",
+        )(noisy)
+        n5 = cb(
+            self.enc_ch, kernel_size=5, padding=2,
+            padding_mode=self.padding_mode, act_type="relu",
+        )(noisy)
+        out = cb(self.base_ch, kernel_size=1, act_type="relu")(
+            jnp.concatenate([n1, n3, n5], axis=-1),
+        )
+
+        pe = positional_encoding_2d(self.base_ch, out.shape[1], out.shape[2])
+        out = out + jnp.asarray(pe, self.dtype)[None]
+
+        a1 = cb(self.enc_ch, kernel_size=1, act_type="relu")(aux)
+        a3 = cb(
+            self.enc_ch, kernel_size=3, padding=1,
+            padding_mode=self.padding_mode, act_type="leakyrelu",
+        )(aux)
+        a5 = cb(
+            self.enc_ch, kernel_size=5, padding=2,
+            padding_mode=self.padding_mode, act_type="leakyrelu",
+        )(aux)
+        a = cb(self.base_ch, kernel_size=1, act_type="leakyrelu")(
+            jnp.concatenate([a1, a3, a5], axis=-1),
+        )
+        a = cb(self.base_ch, kernel_size=1, act_type="leakyrelu")(a)
+
+        for i in range(1, self.num_blocks + 1):
+            block_cls = MambaBlock
+            if i > self.num_blocks - self.num_gcp:
+                block_cls = nn.remat(MambaBlock)
+            out, a = block_cls(
+                ch=self.base_ch,
+                d_state=self.d_state,
+                d_conv=self.d_conv,
+                expansion=self.expansion,
+                headdim=self.headdim,
+                padding_mode=self.padding_mode,
+                dtype=self.dtype,
+            )(out, a)
+
+        out = cb(
+            self.base_ch, kernel_size=3, padding=1,
+            padding_mode=self.padding_mode, act_type="relu",
+        )(out)
+        out = cb(
+            self.base_ch, kernel_size=3, padding=1,
+            padding_mode=self.padding_mode, act_type="relu",
+        )(out)
+        out = cb(
+            self.input_channels, kernel_size=3, padding=1,
+            padding_mode="zeros", act_type=None,
+        )(out)
+        return out.astype(jnp.float32) + x_in.astype(jnp.float32)

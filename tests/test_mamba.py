@@ -1,0 +1,142 @@
+"""Mamba2 SSD tests: chunked-vs-naive golden, causal conv parity, model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from pixel_heal_thyself_tpu.models.mamba import (
+    LayerNormTorch,
+    Mamba2Layer,
+    MambaBlock,
+    MambaDenoiserNet,
+    positional_encoding_2d,
+)
+from pixel_heal_thyself_tpu.ops.conv import causal_depthwise_conv1d
+from pixel_heal_thyself_tpu.ops.ssd import ssd_chunked, ssd_naive
+
+
+def _ssd_inputs(b=2, l=100, h=4, p=8, g=1, n=16, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((b, l, h, p)).astype(np.float32)
+    dt = rng.uniform(0.001, 0.1, (b, l, h)).astype(np.float32)
+    A = -rng.uniform(1, 8, (h,)).astype(np.float32)
+    B = rng.standard_normal((b, l, g, n)).astype(np.float32) * 0.5
+    C = rng.standard_normal((b, l, g, n)).astype(np.float32) * 0.5
+    D = rng.standard_normal((h,)).astype(np.float32)
+    return x, dt, A, B, C, D
+
+
+class TestSSD:
+    @pytest.mark.parametrize("chunk", [16, 32, 128])
+    def test_chunked_matches_naive(self, chunk):
+        x, dt, A, B, C, D = _ssd_inputs(l=100)  # non-multiple of chunk
+        want = np.asarray(ssd_naive(x, dt, A, B, C, D))
+        got = np.asarray(ssd_chunked(x, dt, A, B, C, D, chunk=chunk))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    def test_multi_group_broadcast(self):
+        x, dt, A, B, C, D = _ssd_inputs(h=4, g=2, n=8)
+        want = np.asarray(ssd_naive(x, dt, A, B, C, D))
+        got = np.asarray(ssd_chunked(x, dt, A, B, C, D, chunk=32))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    def test_causality(self):
+        x, dt, A, B, C, D = _ssd_inputs(b=1, l=64)
+        y1 = np.asarray(ssd_chunked(x, dt, A, B, C, D, chunk=16))
+        x2 = x.copy()
+        x2[:, 40:] = 999.0  # future change must not affect the past
+        y2 = np.asarray(ssd_chunked(x2, dt, A, B, C, D, chunk=16))
+        np.testing.assert_allclose(y1[:, :40], y2[:, :40], rtol=1e-5)
+        assert not np.allclose(y1[:, 40:], y2[:, 40:])
+
+    def test_grad_finite(self):
+        x, dt, A, B, C, D = _ssd_inputs(l=32)
+
+        def loss(x):
+            return jnp.sum(ssd_chunked(x, dt, A, B, C, D, chunk=16) ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(x))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_grad_finite_large_decay(self):
+        """Regression: big dt·|A| once overflowed exp() of the masked
+        upper triangle and produced NaN gradients."""
+        x, dt, A, B, C, D = _ssd_inputs(l=64)
+        dt = dt * 50.0  # large decay magnitudes
+
+        def loss(args):
+            x, dt = args
+            return jnp.sum(ssd_chunked(x, dt, A, B, C, D, chunk=32) ** 2)
+
+        g = jax.grad(loss)((jnp.asarray(x), jnp.asarray(dt)))
+        assert all(np.all(np.isfinite(np.asarray(t))) for t in jax.tree.leaves(g))
+
+
+def test_causal_conv1d_matches_torch():
+    rng = np.random.default_rng(0)
+    b, l, c, k = 2, 20, 6, 4
+    x = rng.standard_normal((b, l, c)).astype(np.float32)
+    w = rng.standard_normal((k, c)).astype(np.float32)
+    bias = rng.standard_normal((c,)).astype(np.float32)
+    got = np.asarray(causal_depthwise_conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias)))
+
+    conv = torch.nn.Conv1d(c, c, k, groups=c, padding=k - 1)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w.T[:, None, :]))  # [c,1,k]
+        conv.bias.copy_(torch.from_numpy(bias))
+        want = conv(torch.from_numpy(x).permute(0, 2, 1))[..., :l].permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_layernorm_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 5, 8)).astype(np.float32)
+    ln = LayerNormTorch()
+    p = ln.init(jax.random.PRNGKey(0), x)
+    got = np.asarray(ln.apply(p, x))
+    with torch.no_grad():
+        want = torch.nn.LayerNorm(8)(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_positional_encoding_matches_reference_layout():
+    pe = positional_encoding_2d(8, 4, 6)
+    assert pe.shape == (4, 6, 8)
+    # even channel 0: sin(y * 1) varies along y, constant along x
+    np.testing.assert_allclose(pe[:, 0, 0], np.sin(np.arange(4)), atol=1e-6)
+    np.testing.assert_allclose(pe[0, :, 0], np.zeros(6), atol=1e-6)
+    # odd channel 1: cos(x * 1) varies along x
+    np.testing.assert_allclose(pe[0, :, 1], np.cos(np.arange(6)), atol=1e-6)
+
+
+class TestMambaModel:
+    def test_layer_shapes(self):
+        layer = Mamba2Layer(d_model=32, d_state=16, expand=2, headdim=16)
+        x = jnp.zeros((2, 24, 32))
+        p = layer.init(jax.random.PRNGKey(0), x)
+        assert layer.apply(p, x).shape == (2, 24, 32)
+
+    def test_block_and_net(self):
+        net = MambaDenoiserNet(
+            base_ch=32, enc_ch=32, height=16, width=16,
+            num_blocks=2, num_gcp=1, d_state=16, expansion=2, headdim=16,
+        )
+        noisy = jnp.zeros((1, 16, 16, 3))
+        aux = jnp.zeros((1, 16, 16, 7))
+        p = net.init(jax.random.PRNGKey(0), noisy, aux)
+        out = net.apply(p, noisy, aux)
+        assert out.shape == (1, 16, 16, 3)
+        assert out.dtype == jnp.float32
+
+    def test_grad_flows(self):
+        net = MambaDenoiserNet(
+            base_ch=16, enc_ch=16, height=8, width=8,
+            num_blocks=1, num_gcp=1, d_state=8, expansion=2, headdim=8,
+        )
+        noisy = jnp.ones((1, 8, 8, 3))
+        aux = jnp.ones((1, 8, 8, 7))
+        p = net.init(jax.random.PRNGKey(0), noisy, aux)
+        g = jax.grad(lambda p: jnp.mean(net.apply(p, noisy, aux) ** 2))(p)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(g))
