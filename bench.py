@@ -38,7 +38,8 @@ def main() -> None:
         make_train_step,
     )
 
-    g_model = AFGSANet(dtype=jnp.bfloat16)
+    use_pallas = jax.default_backend() not in ("cpu",)
+    g_model = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas)
     d_model = DiscriminatorVGG(input_size=PATCH, dtype=jnp.bfloat16)
     g_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
     d_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)

@@ -97,6 +97,7 @@ class TrainerConfig:
     # TPU-native knobs (not in the reference)
     precision: str = "bf16"  # compute dtype for conv/attention: bf16 | fp32
     prefetch_batches: int = 2  # host→device prefetch depth
+    use_pallas: bool = True  # fused attention kernel (TPU backends only)
 
 
 @dataclass

@@ -40,25 +40,47 @@ def extract_halo_windows(
     borders — the `F.unfold(kernel=block+2h, stride=block, padding=h)`
     equivalent (reference `model.py:480-485`).
 
+    Implementation: with halo ≤ block, every window is the union of the
+    center tile plus fixed slices of its 8 neighbors, so the windows are
+    assembled from STATIC slices + concat of a block-padded view. This
+    keeps the backward pass a pad-and-add of slices; a gather formulation
+    would differentiate into a scatter-add, which is pathologically slow
+    on TPU (measured 355 ms → 60 ms for the prod fwd+bwd step).
+
     Returns [B, hb, wb, window, window, C].
     """
     b, h, w, c = x.shape
-    hb, wb = h // block_size, w // block_size
-    window = block_size + 2 * halo_size
-    xp = jnp.pad(
-        x,
-        ((0, 0), (halo_size, halo_size), (halo_size, halo_size), (0, 0)),
-    )
-    row_idx = (
-        np.arange(hb)[:, None] * block_size + np.arange(window)[None, :]
-    )  # [hb, window]
-    col_idx = np.arange(wb)[:, None] * block_size + np.arange(window)[None, :]
-    # gather rows → [B, hb, window, Wp, C]; then cols → [B, hb, window, wb, window, C]
-    xw = jnp.take(xp, jnp.asarray(row_idx.reshape(-1)), axis=1)
-    xw = xw.reshape(b, hb, window, w + 2 * halo_size, c)
-    xw = jnp.take(xw, jnp.asarray(col_idx.reshape(-1)), axis=3)
-    xw = xw.reshape(b, hb, window, wb, window, c)
-    return xw.transpose(0, 1, 3, 2, 4, 5)
+    bs, halo = block_size, halo_size
+    if halo > bs:
+        raise ValueError("halo_size must be ≤ block_size")
+    hb, wb = h // bs, w // bs
+    window = bs + 2 * halo
+
+    # rows: pad one whole block of zeros each side, view as block rows,
+    # and take (prev tail, center, next head) slices
+    xp = jnp.pad(x, ((0, 0), (bs, bs), (0, 0), (0, 0)))
+    xr = xp.reshape(b, hb + 2, bs, w, c)
+    rows = jnp.concatenate(
+        [
+            xr[:, :-2, bs - halo :],  # last `halo` rows of the block above
+            xr[:, 1:-1],              # the center block rows
+            xr[:, 2:, :halo],         # first `halo` rows of the block below
+        ],
+        axis=2,
+    )  # [b, hb, window, w, c]
+
+    # cols: same decomposition along width
+    rp = jnp.pad(rows, ((0, 0), (0, 0), (0, 0), (bs, bs), (0, 0)))
+    rc = rp.reshape(b, hb, window, wb + 2, bs, c)
+    wins = jnp.concatenate(
+        [
+            rc[:, :, :, :-2, bs - halo :],
+            rc[:, :, :, 1:-1],
+            rc[:, :, :, 2:, :halo],
+        ],
+        axis=4,
+    )  # [b, hb, window, wb, window, c]
+    return wins.transpose(0, 1, 3, 2, 4, 5)
 
 
 def blocks_from_image(x: jnp.ndarray, block_size: int) -> jnp.ndarray:

@@ -89,6 +89,10 @@ class BaseTrainer:
         if cfg.trainer.precision == "fp32":
             # keep fp32 matmuls genuinely fp32 on the MXU
             jax.config.update("jax_default_matmul_precision", "highest")
+        # fused Pallas attention on real TPUs; XLA path elsewhere (CPU tests)
+        self.use_pallas = cfg.trainer.use_pallas and jax.default_backend() not in (
+            "cpu",
+        )
 
     # -- factories -------------------------------------------------------
     def create_generator(self):
@@ -364,6 +368,7 @@ class AFGSATrainer(BaseTrainer):
             padding_mode=self.padding_mode,
             curve_order=m.curve_order,
             use_film=m.use_film,
+            use_pallas=self.use_pallas,
             dtype=self.compute_dtype,
         )
 

@@ -1,0 +1,77 @@
+"""Pallas block-halo attention vs the XLA path (interpret mode on CPU).
+
+Real-TPU validation (compiled Mosaic, prod shapes) runs in
+/tmp-style scripts and bench.py; here the kernel logic is checked via the
+Pallas interpreter so CI stays CPU-only.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pixel_heal_thyself_tpu.ops.attention import block_halo_attention_xla
+from pixel_heal_thyself_tpu.ops.attention_pallas import block_halo_attention_pallas
+from pixel_heal_thyself_tpu.ops.curves import (
+    CurveOrder,
+    inverse_permutation,
+    make_curve_indices,
+)
+
+
+def _data(B=1, P=16, C=128, heads=2, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, P, P, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, P, P, C)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, P, P, C)), jnp.float32)
+    hd = C // heads
+    rel_h = jnp.asarray(rng.standard_normal((14, hd // 2)), jnp.float32)
+    rel_w = jnp.asarray(rng.standard_normal((14, hd // 2)), jnp.float32)
+    return q, k, v, rel_h, rel_w
+
+
+def _xla(q, k, v, rel_h, rel_w, heads):
+    order = jnp.asarray(make_curve_indices(8, CurveOrder.RASTER))
+    inv = jnp.asarray(inverse_permutation(np.asarray(order)))
+    return block_halo_attention_xla(
+        q, k, v, rel_h, rel_w, order, inv,
+        block_size=8, halo_size=3, num_heads=heads,
+    )
+
+
+@pytest.mark.slow
+def test_pallas_forward_matches_xla_interpret():
+    q, k, v, rel_h, rel_w = _data(B=2, P=16)
+    want = np.asarray(_xla(q, k, v, rel_h, rel_w, heads=2))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            block_halo_attention_pallas(
+                q, k, v, rel_h, rel_w,
+                block_size=8, halo_size=3, num_heads=2,
+            ),
+        )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_pallas_grads_match_xla_interpret():
+    q, k, v, rel_h, rel_w = _data(B=1, P=16)
+
+    def loss_x(args):
+        o = _xla(*args, heads=2)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_p(args):
+        o = block_halo_attention_pallas(
+            *args, block_size=8, halo_size=3, num_heads=2,
+        )
+        return jnp.sum(o * jnp.cos(o))
+
+    want = jax.grad(loss_x)((q, k, v, rel_h, rel_w))
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_p)((q, k, v, rel_h, rel_w))
+    for name, a, b in zip(["dq", "dk", "dv", "drel_h", "drel_w"], want, got):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3, err_msg=name,
+        )
