@@ -1,0 +1,249 @@
+"""Full-frame tiled inference CLI.
+
+Reconstructs the reference's out-of-repo inference flow (evidenced by
+`tools/runs_inference_analysis.py:25,34-46`, which consumes per-EXR
+`<scene>_<idx>_<spp>_evaluation.txt` files with `RMSE:`/`PSNR:`/`1-SSIM:`
+fields — SURVEY.md §2.8/§5):
+
+    python -m pixel_heal_thyself_tpu.inference -cn prod \
+        trainer.model_path=<run>/model_epochN/state \
+        inference.images_dir=data/images [inference.out_dir=...]
+
+Frames are denoised in overlapping tiles (margin ≥ the network's receptive
+field, multiple of the attention block so every tile satisfies the
+8-divisibility constraint, reference `model.py:469-471`), batched through
+the jitted generator, stitched by cropping the margins, and scored with
+the training metrics (relative MSE in linear HDR; PSNR/SSIM on tone-mapped
+uint8). Optionally writes the denoised EXR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixel_heal_thyself_tpu.config import Config, ConfigRegistry, compose
+from pixel_heal_thyself_tpu.config.run_dirs import register_run_dirs_resolver
+from pixel_heal_thyself_tpu.data.exr import write_exr_groups
+from pixel_heal_thyself_tpu.data.preprocessing import (
+    postprocess_specular,
+    preprocess_data,
+    preprocess_normal,
+    preprocess_specular,
+)
+from pixel_heal_thyself_tpu.logger import logger
+from pixel_heal_thyself_tpu.metrics import (
+    calculate_psnr,
+    calculate_rmse,
+    calculate_ssim,
+)
+from pixel_heal_thyself_tpu.utils.images import tensor2img
+
+register_run_dirs_resolver()
+
+
+def extract_tiles(x: np.ndarray, tile: int, margin: int) -> tuple[np.ndarray, tuple]:
+    """Split [H, W, C] into overlapping (tile+2·margin)² tiles at stride
+    `tile`, replicate-padding the frame edges. Returns (tiles, meta)."""
+    h, w, c = x.shape
+    ht = -(-h // tile)
+    wt = -(-w // tile)
+    ph, pw = ht * tile, wt * tile
+    xp = np.pad(
+        x,
+        ((margin, margin + ph - h), (margin, margin + pw - w), (0, 0)),
+        mode="edge",
+    )
+    size = tile + 2 * margin
+    tiles = np.empty((ht * wt, size, size, c), np.float32)
+    idx = 0
+    for ty in range(ht):
+        for tx in range(wt):
+            y0, x0 = ty * tile, tx * tile
+            tiles[idx] = xp[y0 : y0 + size, x0 : x0 + size]
+            idx += 1
+    return tiles, (h, w, ht, wt)
+
+
+def stitch_tiles(tiles: np.ndarray, meta: tuple, tile: int, margin: int) -> np.ndarray:
+    """Inverse of extract_tiles: crop margins and reassemble to [H, W, C]."""
+    h, w, ht, wt = meta
+    c = tiles.shape[-1]
+    out = np.empty((ht * tile, wt * tile, c), np.float32)
+    idx = 0
+    for ty in range(ht):
+        for tx in range(wt):
+            out[
+                ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile,
+            ] = tiles[idx, margin : margin + tile, margin : margin + tile]
+            idx += 1
+    return out[:h, :w]
+
+
+def denoise_frame(
+    apply_fn,
+    data: dict[str, np.ndarray],
+    tile: int = 256,
+    margin: int = 32,
+    batch_tiles: int = 8,
+) -> np.ndarray:
+    """Denoise one preprocessed frame dict → linear-HDR output [H, W, 3]."""
+    noisy_log = preprocess_specular(data["noisy"]).astype(np.float32)
+    aux = data["aux"].astype(np.float32).copy()
+    aux[..., :3] = preprocess_normal(aux[..., :3])
+
+    noisy_tiles, meta = extract_tiles(noisy_log, tile, margin)
+    aux_tiles, _ = extract_tiles(aux, tile, margin)
+    n = noisy_tiles.shape[0]
+    pad_n = (-n) % batch_tiles
+    if pad_n:
+        noisy_tiles = np.concatenate([noisy_tiles, noisy_tiles[:pad_n]], 0)
+        aux_tiles = np.concatenate([aux_tiles, aux_tiles[:pad_n]], 0)
+
+    outs = []
+    for i in range(0, len(noisy_tiles), batch_tiles):
+        o = apply_fn(
+            jnp.asarray(noisy_tiles[i : i + batch_tiles]),
+            jnp.asarray(aux_tiles[i : i + batch_tiles]),
+        )
+        outs.append(np.asarray(o, np.float32))
+    out_tiles = np.concatenate(outs, 0)[:n]
+    out_log = stitch_tiles(out_tiles, meta, tile, margin)
+    return postprocess_specular(out_log)
+
+
+def find_frame_pairs(images_dir: str | Path, noisy_spp: int, gt_spp: int):
+    noisy_root = Path(images_dir) / f"{noisy_spp}spp"
+    gt_root = Path(images_dir) / f"{gt_spp}spp"
+    pairs = []
+    for f in sorted(os.listdir(gt_root)):
+        if not f.endswith(".exr"):
+            continue
+        parts = f.split("_")
+        stem = f"{parts[0]}_{parts[1]}"
+        pairs.append(
+            (
+                stem,
+                str(noisy_root / f"{stem}_{noisy_spp}"),
+                str(gt_root / f"{stem}_{gt_spp}"),
+            ),
+        )
+    return pairs
+
+
+def load_generator(cfg: Config):
+    """Build the generator from config and restore params from
+    trainer.model_path (an Orbax checkpoint dir saved by the trainer)."""
+    from pixel_heal_thyself_tpu.training import checkpoints
+    from pixel_heal_thyself_tpu.training.trainer import AFGSATrainer, MambaTrainer
+
+    trainer_cls = AFGSATrainer if cfg.model.name == "afgsa" else MambaTrainer
+    trainer = trainer_cls(cfg)
+    model = trainer.create_generator()
+    restored = checkpoints.restore_params(cfg.trainer.model_path)
+    params = restored["g"]["params"] if "g" in restored else restored
+    return model, {"params": params}
+
+
+def run_inference(
+    cfg: Config,
+    images_dir: str,
+    out_dir: str,
+    tile: int = 256,
+    margin: int = 32,
+    batch_tiles: int = 8,
+    noisy_spp: int = 32,
+    gt_spp: int = 1024,
+    save_exr: bool = False,
+    scale: float = 1.0,
+) -> list[dict]:
+    model, variables = load_generator(cfg)
+    apply_fn = jax.jit(lambda n, a: model.apply(variables, n, a))
+    os.makedirs(out_dir, exist_ok=True)
+
+    results = []
+    for stem, noisy_path, gt_path in find_frame_pairs(images_dir, noisy_spp, gt_spp):
+        start = time.time()
+        data = preprocess_data(noisy_path, gt_path, scale=scale)
+        out_lin = denoise_frame(
+            apply_fn, data, tile=tile, margin=margin, batch_tiles=batch_tiles,
+        )
+        gt_lin = data["gt"].astype(np.float64)
+
+        rmse = calculate_rmse(out_lin.astype(np.float64), gt_lin)
+        out_255 = tensor2img(out_lin)
+        gt_255 = tensor2img(gt_lin)
+        psnr = calculate_psnr(out_255, gt_255)
+        ssim = calculate_ssim(out_255, gt_255)
+
+        eval_path = Path(out_dir) / f"{stem}_{noisy_spp}_evaluation.txt"
+        with open(eval_path, "w") as f:
+            f.write(f"RMSE: {rmse:.6f}\nPSNR: {psnr:.4f}\n1-SSIM: {1 - ssim:.6f}\n")
+        if save_exr:
+            write_exr_groups(
+                Path(out_dir) / f"{stem}_{noisy_spp}_denoised.exr",
+                {"default": out_lin.astype(np.float32)},
+                pixel_type="half",
+            )
+        logger.info(
+            f"[Infer] {stem}: rmse={rmse:.6f} psnr={psnr:.2f} "
+            f"1-ssim={1 - ssim:.4f} time={time.time() - start:.1f}s",
+        )
+        results.append({"scene": stem, "rmse": rmse, "psnr": psnr, "ssim": ssim})
+    return results
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="pixel_heal_thyself_tpu.inference")
+    parser.add_argument("-cn", "--config-name", default="default")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    # inference.* overrides are consumed here, the rest go to the config
+    infer_opts = {"tile": 256, "margin": 32, "batch_tiles": 8, "save_exr": False,
+                  "images_dir": None, "out_dir": None, "noisy_spp": 32, "gt_spp": 1024}
+    cfg_overrides = []
+    for ov in args.overrides:
+        key, _, val = ov.partition("=")
+        if key.startswith("inference."):
+            name = key.split(".", 1)[1]
+            cur = infer_opts.get(name)
+            infer_opts[name] = (
+                val.lower() in ("1", "true", "yes")
+                if isinstance(cur, bool)
+                else type(cur)(val) if cur is not None else val
+            )
+        else:
+            cfg_overrides.append(ov)
+
+    cfg = ConfigRegistry.create_config(compose(args.config_name, cfg_overrides))
+    logger.setup_logger(cfg.logging.level)
+    if not cfg.trainer.model_path:
+        raise SystemExit("set trainer.model_path=<checkpoint state dir>")
+    images_dir = infer_opts["images_dir"] or cfg.data.images.dir
+    out_dir = infer_opts["out_dir"] or os.path.join(
+        cfg.paths.output_dir, "inference",
+    )
+    run_inference(
+        cfg,
+        images_dir,
+        out_dir,
+        tile=infer_opts["tile"],
+        margin=infer_opts["margin"],
+        batch_tiles=infer_opts["batch_tiles"],
+        noisy_spp=infer_opts["noisy_spp"],
+        gt_spp=infer_opts["gt_spp"],
+        save_exr=infer_opts["save_exr"],
+        scale=cfg.data.images.scale,
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,70 @@
+"""Spatially-sharded full-frame inference (context-parallel analog).
+
+No reference analog (the reference tiles frames offline on one GPU;
+SURVEY.md §5 long-context). TPU-native: the frame's rows are sharded over
+the 'data' mesh axis; each device exchanges `margin` rows of halo with its
+neighbors over ICI via `lax.ppermute` inside `shard_map`, applies the
+denoiser to its strip + halo, and crops. The collective rides the mesh —
+no host gathers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def sharded_apply_rows(
+    apply_fn,
+    mesh: Mesh,
+    margin: int,
+    noisy: jnp.ndarray,
+    aux: jnp.ndarray,
+) -> jnp.ndarray:
+    """Apply `apply_fn(noisy, aux) -> out` to a full frame with rows
+    sharded over the 'data' axis and halo exchange between neighbors.
+
+    noisy/aux: [B, H, W, C*]; H must divide evenly by the axis size and
+    the per-device strip plus 2·margin must satisfy the model's
+    divisibility constraints (margin a multiple of the attention block).
+    """
+    axis = "data"
+    n = mesh.shape[axis]
+    if noisy.shape[1] % n:
+        raise ValueError(f"H={noisy.shape[1]} not divisible by mesh axis {n}")
+
+    def exchange_halo(x):
+        # neighbor edge strips: up neighbor's bottom rows, down neighbor's
+        # top rows (zero at the frame boundary, matching frame padding)
+        top_edge = x[:, :margin]
+        bot_edge = x[:, -margin:]
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        from_up = jax.lax.ppermute(bot_edge, axis, fwd)  # row strip above ours
+        from_down = jax.lax.ppermute(top_edge, axis, bwd)
+        idx = jax.lax.axis_index(axis)
+        from_up = jnp.where(idx == 0, jnp.zeros_like(from_up), from_up)
+        from_down = jnp.where(
+            idx == n - 1, jnp.zeros_like(from_down), from_down,
+        )
+        return jnp.concatenate([from_up, x, from_down], axis=1)
+
+    def per_shard(noisy_s, aux_s):
+        noisy_h = exchange_halo(noisy_s)
+        aux_h = exchange_halo(aux_s)
+        out = apply_fn(noisy_h, aux_h)
+        return out[:, margin:-margin]
+
+    spec = P(None, axis, None, None)
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=spec,
+    )
+    noisy = jax.device_put(noisy, NamedSharding(mesh, spec))
+    aux = jax.device_put(aux, NamedSharding(mesh, spec))
+    return fn(noisy, aux)

@@ -1,0 +1,124 @@
+"""Full-frame inference: tiling round-trips, spatially-sharded apply on the
+8-device CPU mesh, and the end-to-end evaluation-file flow."""
+
+import re
+from random import Random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixel_heal_thyself_tpu.inference import (
+    denoise_frame,
+    extract_tiles,
+    find_frame_pairs,
+    run_inference,
+    stitch_tiles,
+)
+from pixel_heal_thyself_tpu.parallel.mesh import make_mesh
+from pixel_heal_thyself_tpu.parallel.spatial import sharded_apply_rows
+
+
+class TestTiling:
+    def test_roundtrip_exact_when_divisible(self):
+        x = np.random.default_rng(0).standard_normal((64, 96, 3)).astype(np.float32)
+        tiles, meta = extract_tiles(x, tile=32, margin=8)
+        assert tiles.shape == (2 * 3, 48, 48, 3)
+        np.testing.assert_array_equal(stitch_tiles(tiles, meta, 32, 8), x)
+
+    def test_roundtrip_with_padding(self):
+        x = np.random.default_rng(1).standard_normal((50, 70, 2)).astype(np.float32)
+        tiles, meta = extract_tiles(x, tile=32, margin=8)
+        np.testing.assert_array_equal(stitch_tiles(tiles, meta, 32, 8), x)
+
+    def test_identity_model_stitches_seamlessly(self):
+        """A translation-invariant 'model' must produce no tile seams."""
+        rng = np.random.default_rng(2)
+        data = {
+            "noisy": rng.uniform(0.1, 2.0, (48, 80, 3)).astype(np.float32),
+            "aux": rng.uniform(-1, 1, (48, 80, 7)).astype(np.float32),
+        }
+
+        def fake_apply(noisy, aux):
+            return noisy * 2.0 + jnp.mean(aux * 0.0)
+
+        out = denoise_frame(fake_apply, data, tile=16, margin=8, batch_tiles=4)
+        want = np.expm1(2.0 * np.log1p(data["noisy"]))
+        np.testing.assert_allclose(out, want, rtol=1e-5)
+
+
+class TestSpatialSharding:
+    def test_halo_exchange_matches_unsharded(self):
+        """Row-sharded conv-like op + halo exchange == unsharded result."""
+        mesh = make_mesh(data_axis=4, model_axis=1, devices=jax.devices()[:4])
+        rng = np.random.default_rng(0)
+        noisy = jnp.asarray(rng.standard_normal((1, 32, 16, 3)), jnp.float32)
+        aux = jnp.asarray(rng.standard_normal((1, 32, 16, 7)), jnp.float32)
+        margin = 2
+
+        def apply_fn(n, a):
+            # 5x5 mean filter — reaches into the halo (radius 2 == margin)
+            k = jnp.ones((5, 5, 3, 3), n.dtype) / (25 * 3)
+            np_ = jnp.pad(n, ((0, 0), (2, 2), (2, 2), (0, 0)))
+            return jax.lax.conv_general_dilated(
+                np_, k, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.sum(a) * 0.0
+
+        want = np.asarray(apply_fn(noisy, aux))
+        # the unsharded frame has zero padding at top/bottom like each
+        # shard's boundary — emulate by applying to the zero-padded frame
+        got = np.asarray(
+            sharded_apply_rows(apply_fn, mesh, margin, noisy, aux),
+        )
+        assert got.shape == want.shape
+        # interior rows (away from shard boundaries' zero-halos at frame
+        # edge) must match exactly
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_inference_end_to_end(tmp_cwd):
+    """Train 1 tiny epoch, then run full-frame inference and check the
+    reference-format evaluation files parse."""
+    from pixel_heal_thyself_tpu.config import Config, compose
+    from pixel_heal_thyself_tpu.training.trainer import AFGSATrainer
+
+    overrides = [
+        "trainer.epochs=1",
+        "data.patches.num_patches=8",
+        "data.images.synthetic_size=96",
+        "model.feature_map_channels=32",
+        "model.afgsa.self_attention.num_layers=1",
+        "model.num_gradient_checkpoints=0",
+        "run_num=0",
+    ]
+    cfg = Config.from_tree(compose("ci", overrides))
+    AFGSATrainer(cfg).train()
+
+    ckpt = (
+        tmp_cwd / "outputs/runs/afgsa_p32_n8_r1.0/run000/model_epoch1/state"
+    )
+    cfg.trainer.model_path = str(ckpt)
+    pairs = find_frame_pairs(cfg.data.images.dir, 32, 1024)
+    assert len(pairs) == 4
+
+    out_dir = tmp_cwd / "inference_out"
+    results = run_inference(
+        cfg,
+        cfg.data.images.dir,
+        str(out_dir),
+        tile=32,
+        margin=8,
+        batch_tiles=4,
+        save_exr=True,
+    )
+    assert len(results) == 4
+    eval_files = sorted(out_dir.glob("*_evaluation.txt"))
+    assert len(eval_files) == 4
+    content = eval_files[0].read_text()
+    assert re.search(r"RMSE:\s*([\d.]+)", content)
+    assert re.search(r"PSNR:\s*([\d.]+)", content)
+    assert re.search(r"1-SSIM:\s*([\d.]+)", content)
+    assert (out_dir / "fftle0_0_32_denoised.exr").exists()
