@@ -1,0 +1,146 @@
+"""Offline tools tests: parsers, termlog, analysis outputs."""
+
+import io
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+import runs_analysis  # noqa: E402
+import runs_inference_analysis as ria  # noqa: E402
+from termlog import process_stream  # noqa: E402
+
+
+class TestTermlog:
+    def test_collapses_carriage_returns(self):
+        src = io.StringIO("progress 1\rprogress 2\rprogress done\nnext line\n")
+        out = io.StringIO()
+        screen = io.StringIO()
+        process_stream(src, out, screen)
+        assert out.getvalue() == "progress done\nnext line\n"
+        assert "progress 1\r" in screen.getvalue()  # raw passthrough
+
+
+class TestRunsAnalysis:
+    def _make_run(self, root, name, epochs, psnr_base, overrides=None):
+        rd = root / name
+        (rd / ".hydra").mkdir(parents=True)
+        ev, tl = [], []
+        for e in range(1, epochs + 1):
+            ev.append(
+                f"Validation: {e} \tAvg MRSE: {0.01 / e:.4f} "
+                f"\tAvg PSNR: {psnr_base + e:.4f} \tAvg 1-SSIM: {0.1 / e:.4f}\n",
+            )
+            tl.append(f"Epoch: {e} \tG loss: {1.0 / e:.4f} \tD Loss: {-0.5 / e:.4f}\n")
+        (rd / "evaluation.txt").write_text("".join(ev))
+        (rd / "train_loss.txt").write_text("".join(tl))
+        import yaml
+
+        (rd / ".hydra" / "overrides.yaml").write_text(
+            yaml.safe_dump(overrides or []),
+        )
+        return rd
+
+    def test_parse_run(self, tmp_path):
+        rd = self._make_run(tmp_path, "run000", 3, 30.0)
+        rows = runs_analysis.parse_run(rd)
+        assert len(rows) == 3
+        assert rows[0]["psnr"] == 31.0
+        assert rows[0]["ssim"] == 1.0 - 0.1
+        assert rows[2]["g_loss"] == round(1.0 / 3, 4)
+
+    def test_end_to_end(self, tmp_path):
+        self._make_run(tmp_path, "run000", 3, 30.0, ["model.curve_order=raster"])
+        self._make_run(tmp_path, "run001", 3, 31.0, ["model.curve_order=hilbert"])
+        out = tmp_path / "analysis"
+        runs_analysis.main(str(tmp_path), False, str(out), None)
+        assert (out / "runs_data.csv").exists()
+        assert (out / "psnr_per_epoch.png").exists()
+        summary = (out / "summary.txt").read_text()
+        assert "Best-PSNR" in summary
+
+    def test_name_map_and_baseline_diffs(self, tmp_path):
+        self._make_run(tmp_path, "run000", 2, 30.0, ["a=1"])
+        self._make_run(tmp_path, "run001", 2, 32.0, ["b=2"])
+        import yaml
+
+        name_map = tmp_path / "names.yaml"
+        name_map.write_text(yaml.safe_dump({"a=1": "baseline", "b=2": "variant"}))
+        out = tmp_path / "analysis"
+        runs_analysis.main(str(tmp_path), False, str(out), str(name_map))
+        summary = (out / "summary.txt").read_text()
+        assert "% difference vs baseline" in summary
+        assert "variant" in summary
+
+
+class TestInferenceAnalysis:
+    def _write_eval(self, d, scene, rmse, psnr, one_minus_ssim):
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"{scene}_0_32_evaluation.txt").write_text(
+            f"RMSE: {rmse}\nPSNR: {psnr}\n1-SSIM: {one_minus_ssim}\n",
+        )
+
+    def test_parse_and_compare(self, tmp_path):
+        base = tmp_path / "base"
+        var = tmp_path / "var"
+        for scene, p in [("fftle0", 30.0), ("heldout", 28.0)]:
+            self._write_eval(base, scene, 0.002, p, 0.05)
+            self._write_eval(var, scene, 0.001, p + 2.0, 0.03)
+        r = ria.process_evaluation_file(
+            str(base / "fftle0_0_32_evaluation.txt"),
+        )
+        assert r["dataset"] == "fftle0" and r["psnr"] == 30.0
+        assert np.isclose(r["ssim"], 0.95)
+
+        out = tmp_path / "out"
+        ria.main([str(base)], [str(var)], "variant", str(out), False)
+        assert (out / "inference_data.csv").exists()
+        assert (out / "psnr_by_dataset.png").exists()
+        summary = (out / "summary.txt").read_text()
+        assert "variant vs baseline" in summary
+
+    def test_dataset_labels(self):
+        assert ria.dataset_label("fftle0") == "fftle0*"
+        assert ria.dataset_label("other") == "other†"
+
+
+def test_report_prep_script(tmp_path):
+    src = tmp_path / "runs"
+    for name in ["run000", "run_001"]:
+        d = src / name
+        d.mkdir(parents=True)
+        (d / "evaluation.txt").write_text("Validation: 1\n")
+        (d / "train_loss.txt").write_text("Epoch: 1\n")
+    dest = tmp_path / "report"
+    subprocess.run(
+        ["bash", str(REPO / "tools" / "report_prep.sh"), str(src), str(dest)],
+        check=True,
+        capture_output=True,
+    )
+    assert (dest / "run000_evaluation.txt").exists()
+    assert (dest / "run_001_train_loss.txt").exists()
+
+
+def test_resize_exrs_tool(tmp_path):
+    from pixel_heal_thyself_tpu.data.exr import read_exr_channels, write_exr
+
+    x = np.random.default_rng(0).uniform(0, 4, (16, 20)).astype(np.float32)
+    p = tmp_path / "img.exr"
+    write_exr(p, {"R": x, "normal.X": x * 0.5}, pixel_type="float")
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "resize_exrs.py"), str(tmp_path)],
+        check=True,
+        capture_output=True,
+    )
+    back = read_exr_channels(p)
+    assert back["R"].shape == (8, 10)
+    assert set(back) == {"R", "normal.X"}
+    np.testing.assert_allclose(
+        back["R"][0, 0],
+        x[:2, :2].mean(),
+        rtol=1e-2,  # half-precision storage
+    )

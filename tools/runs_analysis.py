@@ -1,0 +1,220 @@
+"""Training-run analysis: parse run dirs, plot per-epoch metrics, report.
+
+Capability parity with reference `tools/runs_analysis.py` (798 LoC): scans
+`runNNN`/`run_NNN` directories, parses `.hydra/overrides.yaml`,
+`evaluation.txt` (`Validation: N  Avg MRSE/PSNR/1-SSIM`) and
+`train_loss.txt` (`Epoch: N  G loss / D Loss`), optionally IQR-filters
+outlier runs, and emits per-epoch MRSE/PSNR/SSIM/G-loss/D-loss plots
+(seaborn), a CSV of all datapoints, and a text summary with %-difference
+tables against a `baseline` experiment.
+
+Usage:
+    python tools/runs_analysis.py ROOT_FOLDER [--discard-outliers]
+        [--output-dir DIR] [--name-map overrides_names.yaml]
+
+`--name-map` maps sorted-override strings (joined with '||') to human
+experiment names, replacing the reference's hardcoded
+`overrides_to_names_map` (`runs_analysis.py:552-565`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+import yaml  # noqa: E402
+
+try:
+    import seaborn as sns
+
+    sns.set_theme(style="whitegrid")
+except Exception:  # pragma: no cover
+    sns = None
+
+EVAL_RE = re.compile(
+    r"Validation:\s*(\d+)\s*\tAvg MRSE:\s*([\d.eE+-]+)\s*"
+    r"\tAvg PSNR:\s*([\d.eE+-]+)\s*\tAvg 1-SSIM:\s*([\d.eE+-]+)",
+)
+LOSS_RE = re.compile(
+    r"Epoch:\s*(\d+)\s*\tG loss:\s*([\d.eE+-]+)\s*\tD Loss:\s*([\d.eE+-]+)",
+)
+
+METRICS = ["mrse", "psnr", "ssim", "g_loss", "d_loss"]
+
+
+def find_run_dirs(root: str) -> list[Path]:
+    out = []
+    for dirpath, dirnames, _ in os.walk(root):
+        for d in dirnames:
+            if re.fullmatch(r"run_?\d+", d):
+                out.append(Path(dirpath) / d)
+    return sorted(out)
+
+
+def parse_run(run_dir: Path) -> list[dict]:
+    """Rows of {run, experiment?, epoch, metric values} for one run dir."""
+    rows: dict[int, dict] = defaultdict(dict)
+    eval_file = run_dir / "evaluation.txt"
+    if eval_file.exists():
+        for m in EVAL_RE.finditer(eval_file.read_text()):
+            e = int(m.group(1))
+            rows[e].update(
+                mrse=float(m.group(2)),
+                psnr=float(m.group(3)),
+                ssim=1.0 - float(m.group(4)),
+            )
+    loss_file = run_dir / "train_loss.txt"
+    if loss_file.exists():
+        for m in LOSS_RE.finditer(loss_file.read_text()):
+            e = int(m.group(1))
+            rows[e].update(g_loss=float(m.group(2)), d_loss=float(m.group(3)))
+    return [
+        {"run": str(run_dir), "epoch": e, **vals} for e, vals in sorted(rows.items())
+    ]
+
+
+def parse_overrides(run_dir: Path) -> str:
+    f = run_dir / ".hydra" / "overrides.yaml"
+    if not f.exists():
+        return ""
+    try:
+        ovs = yaml.safe_load(f.read_text()) or []
+    except Exception:
+        return ""
+    return "||".join(sorted(str(o) for o in ovs))
+
+
+def experiment_name(run_dir: Path, name_map: dict[str, str]) -> str:
+    key = parse_overrides(run_dir)
+    if key in name_map:
+        return name_map[key]
+    return key if key else run_dir.parent.name
+
+
+def iqr_filter(df: pd.DataFrame, metric: str = "psnr") -> pd.DataFrame:
+    """Drop runs whose final-epoch metric is an IQR outlier within its
+    experiment (reference behavior: outlier runs removed entirely)."""
+    keep_runs = []
+    final = df.loc[df.groupby("run")["epoch"].idxmax()]
+    for _, grp in final.groupby("experiment"):
+        vals = grp[metric].dropna()
+        if len(vals) < 4:
+            keep_runs.extend(grp["run"])
+            continue
+        q1, q3 = np.percentile(vals, [25, 75])
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        keep_runs.extend(grp.loc[grp[metric].between(lo, hi), "run"])
+    return df[df["run"].isin(keep_runs)]
+
+
+def plot_metric(df: pd.DataFrame, metric: str, out_dir: Path) -> None:
+    if metric not in df or df[metric].dropna().empty:
+        return
+    fig, ax = plt.subplots(figsize=(10, 6))
+    if sns is not None:
+        sns.lineplot(
+            data=df, x="epoch", y=metric, hue="experiment",
+            errorbar=("sd" if df.groupby(["experiment", "epoch"]).size().max() > 1 else None),
+            ax=ax,
+        )
+    else:  # pragma: no cover
+        for name, grp in df.groupby("experiment"):
+            mean = grp.groupby("epoch")[metric].mean()
+            ax.plot(mean.index, mean.values, label=name)
+        ax.legend()
+    ax.set_title(f"{metric.upper()} per epoch")
+    fig.savefig(out_dir / f"{metric}_per_epoch.png", dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def write_summary(df: pd.DataFrame, out_dir: Path) -> None:
+    lines = ["# Runs analysis summary", ""]
+    final = df.loc[df.groupby("run")["epoch"].idxmax()]
+    agg = final.groupby("experiment")[
+        [m for m in METRICS if m in final]
+    ].mean()
+    lines.append(agg.to_string(float_format=lambda v: f"{v:.6f}"))
+    if "baseline" in agg.index:
+        lines += ["", "## % difference vs baseline (final epoch means)", ""]
+        base = agg.loc["baseline"]
+        for exp, row in agg.iterrows():
+            if exp == "baseline":
+                continue
+            diffs = []
+            for m in agg.columns:
+                if base[m]:
+                    diffs.append(f"{m}: {100 * (row[m] - base[m]) / abs(base[m]):+.2f}%")
+            lines.append(f"{exp}: " + ", ".join(diffs))
+    # best performer frequency per epoch (reference :540-549)
+    if "psnr" in df:
+        lines += ["", "## Best-PSNR experiment per epoch", ""]
+        best = (
+            df.dropna(subset=["psnr"])
+            .groupby(["epoch", "experiment"])["psnr"]
+            .mean()
+            .reset_index()
+        )
+        counts: dict[str, int] = defaultdict(int)
+        for _, grp in best.groupby("epoch"):
+            counts[grp.loc[grp["psnr"].idxmax(), "experiment"]] += 1
+        for exp, count in sorted(counts.items(), key=lambda x: -x[1]):
+            lines.append(f"{exp}: best in {count} epochs")
+    (out_dir / "summary.txt").write_text("\n".join(lines) + "\n")
+
+
+def main(root_folder: str, discard_outliers: bool, output_dir: str | None, name_map_file: str | None) -> None:
+    name_map: dict[str, str] = {}
+    if name_map_file:
+        name_map = yaml.safe_load(Path(name_map_file).read_text()) or {}
+
+    run_dirs = find_run_dirs(root_folder)
+    if not run_dirs:
+        print(f"No run directories found under {root_folder}")
+        sys.exit(1)
+
+    rows = []
+    for rd in run_dirs:
+        exp = experiment_name(rd, name_map)
+        for row in parse_run(rd):
+            row["experiment"] = exp
+            rows.append(row)
+    if not rows:
+        print("No parsable evaluation/train_loss files found")
+        sys.exit(1)
+
+    df = pd.DataFrame(rows)
+    out_dir = Path(output_dir or Path(root_folder) / "analysis")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if discard_outliers:
+        before = df["run"].nunique()
+        df = iqr_filter(df)
+        print(f"IQR filter: kept {df['run'].nunique()}/{before} runs")
+
+    df.to_csv(out_dir / "runs_data.csv", index=False)
+    for metric in METRICS:
+        plot_metric(df, metric, out_dir)
+    write_summary(df, out_dir)
+    print(f"Wrote analysis to {out_dir}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Analyze training runs: plots, CSV, summary report",
+    )
+    parser.add_argument("root_folder", help="Root folder to search for run dirs")
+    parser.add_argument("--discard-outliers", action="store_true")
+    parser.add_argument("--output-dir", default=None)
+    parser.add_argument("--name-map", default=None, help="YAML: overrides-key -> name")
+    args = parser.parse_args()
+    main(args.root_folder, args.discard_outliers, args.output_dir, args.name_map)
