@@ -126,7 +126,12 @@ def make_train_step(
         rng = jax.random.fold_in(rng, gstate.step)
         noisy, gt, aux = prepare_batch(batch["noisy"], batch["gt"], batch["aux"])
 
-        output = g_model.apply({"params": gstate.params}, noisy, aux)
+        # one generator forward serves both the D step (detached) and the
+        # G step (via the saved vjp) — the reference reuses the same torch
+        # graph the same way (base_trainer.py:388-415)
+        output, g_vjp = jax.vjp(
+            lambda p: g_model.apply({"params": p}, noisy, aux), gstate.params,
+        )
         output_sg = jax.lax.stop_gradient(output)
 
         # ---- discriminator update -------------------------------------
@@ -164,8 +169,7 @@ def make_train_step(
         )
 
         # ---- generator update (against the updated D) ------------------
-        def g_loss_fn(gparams):
-            out = g_model.apply({"params": gparams}, noisy, aux)
+        def g_loss_fn(out):
             if use_multiscale:
                 pred_g_fake, _ = d_apply(d_params, new_d_extra, out)
                 pred_d_real_ng, _ = d_apply(d_params, new_d_extra, gt)
@@ -184,9 +188,10 @@ def make_train_step(
                 total = total + ssim_w * ssim_loss(out, gt)
             return total, (loss_g, loss_l1)
 
-        (g_loss, (loss_g_gan, loss_g_l1)), g_grads = jax.value_and_grad(
+        (g_loss, (loss_g_gan, loss_g_l1)), d_out = jax.value_and_grad(
             g_loss_fn, has_aux=True,
-        )(gstate.params)
+        )(output)
+        (g_grads,) = g_vjp(d_out)
         g_updates, g_opt_state = g_tx.update(g_grads, gstate.opt_state, gstate.params)
         gstate = gstate.replace(
             params=optax.apply_updates(gstate.params, g_updates),
