@@ -71,6 +71,9 @@ class LossesConfig:
     gp_loss_w: float = 10.0
     use_lpips_loss: bool = False
     lpips_loss_w: float = 0.1
+    # converted VGG16+lin weights npz (tools/convert_lpips_weights.py);
+    # the literal value "random" uses random weights (tests/ablation)
+    lpips_weights_path: str = ""
     use_ssim_loss: bool = False
     ssim_loss_w: float = 0.1
 
@@ -98,6 +101,7 @@ class TrainerConfig:
     precision: str = "bf16"  # compute dtype for conv/attention: bf16 | fp32
     prefetch_batches: int = 2  # host→device prefetch depth
     use_pallas: bool = True  # fused attention kernel (TPU backends only)
+    profile_dir: str = ""  # write a jax.profiler trace of early steps here
 
 
 @dataclass

@@ -107,6 +107,7 @@ def make_train_step(
     use_multiscale: bool,
     g_tx: optax.GradientTransformation,
     d_tx: optax.GradientTransformation,
+    lpips_params=None,
 ) -> Callable:
     """Build the jitted alternating G/D update."""
 
@@ -115,6 +116,8 @@ def make_train_step(
     gp_w = float(losses_cfg.gp_loss_w)
     use_ssim = bool(losses_cfg.use_ssim_loss)
     ssim_w = float(losses_cfg.ssim_loss_w)
+    use_lpips = bool(losses_cfg.use_lpips_loss) and lpips_params is not None
+    lpips_w = float(losses_cfg.lpips_loss_w)
 
     def d_apply(params, extra, x, mutable=False):
         variables = {"params": params, **extra}
@@ -186,6 +189,17 @@ def make_train_step(
             total = gan_w * loss_g + l1_w * loss_l1
             if use_ssim:
                 total = total + ssim_w * ssim_loss(out, gt)
+            if use_lpips:
+                from pixel_heal_thyself_tpu.models.lpips import (
+                    lpips_distance,
+                    to_lpips_range,
+                )
+
+                total = total + lpips_w * jnp.mean(
+                    lpips_distance(
+                        lpips_params, to_lpips_range(out), to_lpips_range(gt),
+                    ),
+                )
             return total, (loss_g, loss_l1)
 
         (g_loss, (loss_g_gan, loss_g_l1)), d_out = jax.value_and_grad(

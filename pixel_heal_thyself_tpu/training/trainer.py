@@ -228,6 +228,23 @@ class BaseTrainer:
             f"D params: {count_params(dstate.params):,}",
         )
 
+        lpips_params = None
+        if cfg.model.losses.use_lpips_loss:
+            from pixel_heal_thyself_tpu.models import lpips as lpips_mod
+
+            path = cfg.model.losses.lpips_weights_path
+            if path == "random":
+                logger.warning("LPIPS using RANDOM weights (test mode)")
+                lpips_params = lpips_mod.random_lpips_params()
+            elif path:
+                lpips_params = lpips_mod.load_lpips_params(path)
+            else:
+                raise ValueError(
+                    "use_lpips_loss=true requires "
+                    "model.losses.lpips_weights_path (see "
+                    "tools/convert_lpips_weights.py) or the value 'random'",
+                )
+
         step_fn = make_train_step(
             g_model,
             d_model,
@@ -235,6 +252,7 @@ class BaseTrainer:
             cfg.model.discriminator.use_multiscale_discriminator,
             g_tx,
             d_tx,
+            lpips_params=lpips_params,
         )
         eval_fn = make_eval_step(g_model)
 
@@ -253,6 +271,16 @@ class BaseTrainer:
             for i_batch, batch in enumerate(train_loader):
                 end_io = time.time()
                 io_took = end_io - end
+                # profiler trace of a steady-state window (reference had no
+                # tracing at all, SURVEY.md §5; iter_time/io_time retained)
+                if cfg.trainer.profile_dir and epoch == start_epoch:
+                    if i_batch == 10:
+                        jax.profiler.start_trace(cfg.trainer.profile_dir)
+                    elif i_batch == 15:
+                        jax.profiler.stop_trace()
+                        logger.info(
+                            f"Wrote profiler trace to {cfg.trainer.profile_dir}",
+                        )
                 gstate, dstate, metrics = step_fn(gstate, dstate, batch, step_rng)
                 epoch_metrics.append(metrics)
                 if i_batch % 10 == 0 or i_batch == total_iterations - 1:

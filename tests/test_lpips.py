@@ -1,0 +1,69 @@
+"""LPIPS math tests (random weights — pretrained npz gated offline)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pixel_heal_thyself_tpu.models.lpips import (
+    lpips_distance,
+    random_lpips_params,
+    to_lpips_range,
+)
+
+
+class TestLpips:
+    def test_zero_for_identical(self):
+        params = random_lpips_params(0)
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32),
+        )
+        d = lpips_distance(params, x, x)
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+    def test_positive_and_monotone_ish(self):
+        params = random_lpips_params(0)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+        small = x + 0.01 * jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+        big = x + 0.5 * jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+        d_small = float(lpips_distance(params, x, small)[0])
+        d_big = float(lpips_distance(params, x, big)[0])
+        assert 0 < d_small < d_big
+
+    def test_to_lpips_range(self):
+        x_log = jnp.log1p(jnp.asarray([[0.0, 1.0, 3.0]]))
+        out = np.asarray(to_lpips_range(x_log))
+        assert out.min() >= -1.0 - 1e-6 and out.max() <= 1.0
+        assert out[0, 0] == -1.0  # zero radiance → -1
+
+    def test_trains_with_lpips_loss(self):
+        import jax
+
+        from pixel_heal_thyself_tpu.config import LossesConfig
+        from pixel_heal_thyself_tpu.models.afgsa import AFGSANet
+        from pixel_heal_thyself_tpu.models.discriminators import DiscriminatorVGG
+        from pixel_heal_thyself_tpu.training.train_step import (
+            init_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        g_model = AFGSANet(base_ch=16, enc_ch=16, num_sa=1, num_gcp=0, num_heads=2)
+        d_model = DiscriminatorVGG(input_size=32, base_nf=8)
+        tx = make_optimizer(1e-3, [2], 0.5, 10)
+        noisy = jnp.zeros((1, 32, 32, 3))
+        aux = jnp.zeros((1, 32, 32, 7))
+        gstate = init_train_state(g_model, tx, jax.random.PRNGKey(0), noisy, aux)
+        dstate = init_train_state(d_model, tx, jax.random.PRNGKey(1), noisy)
+        cfg = LossesConfig(use_lpips_loss=True, lpips_weights_path="random")
+        step = make_train_step(
+            g_model, d_model, cfg, False, tx, tx,
+            lpips_params=random_lpips_params(0),
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "noisy": jnp.asarray(rng.uniform(0, 2, (1, 32, 32, 3)), jnp.float32),
+            "gt": jnp.asarray(rng.uniform(0, 2, (1, 32, 32, 3)), jnp.float32),
+            "aux": jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 7)), jnp.float32),
+        }
+        gstate, dstate, metrics = step(gstate, dstate, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["g_loss"]))
