@@ -207,11 +207,27 @@ def prune_patches(exr_shape, patches: np.ndarray, patch_size: int, imp_map, rng:
     return np.array(pruned, dtype=int).reshape(-1, 2)
 
 
-def importance_sampling(data, patch_size: int, num_patches: int, rng: Random):
+def importance_sampling(
+    data,
+    patch_size: int,
+    num_patches: int,
+    rng: Random,
+    use_native: bool = True,
+):
     buffers = [data["noisy"][:, :, :], data["normal"][:, :, :]]
     imp_map = get_importance_map(
         buffers, ["relative", "variance"], [1.0, 1.0], patch_size,
     )
+    if use_native:
+        # C++ hot path (native/pht_native.cpp) — byte-identical results and
+        # RNG stream position; falls back to Python when unavailable
+        from pixel_heal_thyself_tpu.native import native_importance_sample
+
+        result = native_importance_sample(
+            buffers[0].shape[:2], patch_size, num_patches, rng, imp_map,
+        )
+        if result is not None:
+            return result
     patches = sample_patches_dart_throwing(
         buffers[0].shape[:2], patch_size, num_patches, rng,
     )
