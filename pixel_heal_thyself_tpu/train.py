@@ -76,20 +76,23 @@ def main(argv: list[str] | None = None) -> None:
         run_single(args.config_name, args.overrides)
         return
 
+    from pixel_heal_thyself_tpu.config.run_dirs import pht_run_dirs_resolver
+
     jobs = _expand_multirun(args.overrides)
+    trial_cache_primed = False
     for job_overrides in jobs:
-        reset_run_dirs_cache()
-        subdir = ",".join(job_overrides)
-        logger.info(f"[multirun] job: {subdir or '(defaults)'}")
-        # route the run-dirs resolver into outputs/trials/<runNNN>/<subdir>
+        if not trial_cache_primed:
+            reset_run_dirs_cache()
+            trial_cache_primed = True  # all sweep jobs share one trial run
+        subdir = ",".join(job_overrides) or "job"
+        logger.info(f"[multirun] job: {subdir}")
+        # jobs land in outputs/trials/<runNNN>/<subdir> (reference
+        # default.yaml:34-36 sweep layout); the dir is computed here and
+        # passed as a literal so override values may contain commas
+        out_dir = pht_run_dirs_resolver("outputs", "none", subdir, "-1", "true")
         cfg_tree = compose(
             args.config_name,
-            job_overrides
-            + [
-                "paths.output_dir=${pht_run_dirs:outputs, none, "
-                + (subdir or "job")
-                + ", ${run_num}, true}",
-            ],
+            job_overrides + [f"paths.output_dir={out_dir}"],
         )
         cfg = ConfigRegistry.create_config(cfg_tree)
         logger.setup_logger(cfg.logging.level)
