@@ -164,23 +164,35 @@ def _compose_file(
 # overrides
 
 
-def _parse_override(s: str) -> tuple[str, Any]:
+def _parse_override(s: str) -> tuple[str, Any, bool]:
     if "=" not in s:
         raise ValueError(f"override must look like key=value, got {s!r}")
     key, _, val = s.partition("=")
+    allow_new = key.startswith("+")
     key = key.lstrip("+").strip()
-    return key, _yaml_load(val) if val != "" else ""
+    return key, _yaml_load(val) if val != "" else "", allow_new
 
 
-def _set_path(cfg: dict, dotted: str, value: Any) -> None:
+def _set_path(cfg: dict, dotted: str, value: Any, allow_new: bool = False) -> None:
     parts = dotted.split(".")
     node = cfg
-    for p in parts[:-1]:
+    for depth, p in enumerate(parts[:-1]):
         nxt = node.get(p)
         if not isinstance(nxt, dict):
+            if not allow_new and p not in node:
+                raise KeyError(
+                    f"override path {dotted!r} does not exist in the config "
+                    f"(unknown key {'.'.join(parts[: depth + 1])!r}); "
+                    "prefix with '+' to add a new key",
+                )
             nxt = {}
             node[p] = nxt
         node = nxt
+    if not allow_new and parts[-1] not in node:
+        raise KeyError(
+            f"override key {dotted!r} does not exist in the config; "
+            "prefix with '+' to add a new key",
+        )
     node[parts[-1]] = value
 
 
@@ -314,9 +326,9 @@ def compose(
     # split overrides into group choices (key names a config group dir and
     # the value a file inside it, e.g. model=mamba) and value overrides
     group_choices: dict[str, str] = {}
-    value_overrides: list[tuple[str, Any]] = []
+    value_overrides: list[tuple[str, Any, bool]] = []
     for ov in overrides or []:
-        key, val = _parse_override(ov)
+        key, val, allow_new = _parse_override(ov)
         group_path = config_dir / key.replace(".", "/")
         if (
             isinstance(val, str)
@@ -325,10 +337,10 @@ def compose(
         ):
             group_choices[key.replace(".", "/")] = val
         else:
-            value_overrides.append((key, val))
+            value_overrides.append((key, val, allow_new))
     cfg = _compose_file(config_dir, config_name, group_choices=group_choices)
-    for key, val in value_overrides:
-        _set_path(cfg, key, val)
+    for key, val, allow_new in value_overrides:
+        _set_path(cfg, key, val, allow_new=allow_new)
     if resolve_interpolations:
         cfg = resolve(cfg)
     return cfg

@@ -83,6 +83,11 @@ class BaseTrainer:
         self.model_name = self.__class__.__name__.replace("Trainer", "")
         set_determinism(cfg.seed, self.deterministic, self.model_name)
         self.padding_mode = "replicate" if self.deterministic else "reflect"
+        if cfg.trainer.precision not in ("bf16", "fp32"):
+            raise ValueError(
+                f"trainer.precision must be 'bf16' or 'fp32', "
+                f"got {cfg.trainer.precision!r}",
+            )
         self.compute_dtype = (
             jnp.bfloat16 if cfg.trainer.precision == "bf16" else jnp.float32
         )
