@@ -141,11 +141,11 @@ def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
     hb, wb = hgt // bs, wdt // bs
     window = bs + 2 * halo
     out_dtype = q.dtype
-    # the kernel computes in f32; f32 operands also keep the window slices
-    # sublane-aligned (offsets are multiples of 8)
-    q = q.astype(jnp.float32)
-    kp = _pad_hw(k, halo).astype(jnp.float32)
-    vp = _pad_hw(v, halo).astype(jnp.float32)
+    # operands stay in the model dtype (bf16 slicing at 8-row offsets is
+    # handled by Mosaic; verified exact vs the f32 path); the kernel still
+    # computes logits/softmax in f32
+    kp = _pad_hw(k, halo)
+    vp = _pad_hw(v, halo)
     bias = _rel_bias_table(
         rel_h.astype(jnp.float32), rel_w.astype(jnp.float32), window,
     )
@@ -170,10 +170,10 @@ def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
             (1, bs, wdt, c), lambda bi, i: (bi, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((window, _padded_w(wdt, halo), c), jnp.float32),
-            pltpu.VMEM((window, _padded_w(wdt, halo), c), jnp.float32),
+            pltpu.VMEM((window, _padded_w(wdt, halo), c), q.dtype),
+            pltpu.VMEM((window, _padded_w(wdt, halo), c), q.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -298,10 +298,10 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
     hb, wb = hgt // bs, wdt // bs
     window = bs + 2 * halo
     wp = _padded_w(wdt, halo)
-    kp = _pad_hw(k, halo).astype(jnp.float32)
-    vp = _pad_hw(v, halo).astype(jnp.float32)
-    qf = q.astype(jnp.float32)
-    dof = do.astype(jnp.float32)
+    kp = _pad_hw(k, halo)
+    vp = _pad_hw(v, halo)
+    qf = q
+    dof = do.astype(q.dtype)
     bias = _rel_bias_table(
         rel_h.astype(jnp.float32), rel_w.astype(jnp.float32), window,
     )
@@ -333,8 +333,8 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
             jax.ShapeDtypeStruct((b * hb, window * window, hd), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((window, wp, c), jnp.float32),
-            pltpu.VMEM((window, wp, c), jnp.float32),
+            pltpu.VMEM((window, wp, c), q.dtype),
+            pltpu.VMEM((window, wp, c), q.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
