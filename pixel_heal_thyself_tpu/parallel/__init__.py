@@ -8,10 +8,21 @@ exchange for full-frame inference.
 """
 
 from pixel_heal_thyself_tpu.parallel.mesh import (
+    auto_data_axis,
     batch_sharding,
     make_mesh,
     make_param_shardings,
+    opt_state_shardings,
+    place_state,
     replicated,
 )
 
-__all__ = ["batch_sharding", "make_mesh", "make_param_shardings", "replicated"]
+__all__ = [
+    "auto_data_axis",
+    "batch_sharding",
+    "make_mesh",
+    "make_param_shardings",
+    "opt_state_shardings",
+    "place_state",
+    "replicated",
+]

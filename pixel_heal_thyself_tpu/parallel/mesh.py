@@ -62,3 +62,52 @@ def make_param_shardings(params, mesh: Mesh):
 
 def tree_replicated(tree, mesh: Mesh):
     return jax.tree.map(lambda _: replicated(mesh), tree)
+
+
+def auto_data_axis(n_devices: int, model_axis: int, batch_size: int) -> int:
+    """Largest DP degree that divides the global batch and fits the mesh.
+
+    `ParallelConfig.data_axis=-1` resolves through this: an 8-chip host with
+    batch 8 trains 8-way DP out of the box; a batch-2 CI run on the same
+    host degrades to 2-way instead of failing the divisibility check.
+    """
+    cap = max(1, n_devices // max(1, model_axis))
+    best = 1
+    for cand in range(1, cap + 1):
+        if batch_size % cand == 0:
+            best = cand
+    return best
+
+
+def opt_state_shardings(opt_state, params, mesh: Mesh):
+    """Sharding specs for an optax state: moment tensors shard like their
+    parameters (same shapes → same output-channel rule); step counters and
+    other non-array leaves replicate."""
+    del params  # moments mirror param shapes; the per-leaf rule suffices
+
+    def spec_for(x):
+        if hasattr(x, "ndim"):
+            return make_param_shardings({"p": x}, mesh)["p"]
+        return replicated(mesh)
+
+    return jax.tree.map(spec_for, opt_state)
+
+
+def place_state(state, mesh: Mesh, shard_params: bool = True):
+    """device_put a TrainState onto the mesh: params per
+    `make_param_shardings` (TP channel sharding when model_axis>1),
+    optimizer moments to match, everything else replicated."""
+    if shard_params:
+        pshard = make_param_shardings(state.params, mesh)
+    else:
+        pshard = tree_replicated(state.params, mesh)
+    return state.replace(
+        params=jax.device_put(state.params, pshard),
+        opt_state=jax.device_put(
+            state.opt_state, opt_state_shardings(state.opt_state, state.params, mesh),
+        ),
+        extra_vars=jax.device_put(
+            state.extra_vars, tree_replicated(state.extra_vars, mesh),
+        ),
+        step=jax.device_put(state.step, replicated(mesh)),
+    )

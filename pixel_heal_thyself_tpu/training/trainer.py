@@ -98,6 +98,32 @@ class BaseTrainer:
         self.use_pallas = cfg.trainer.use_pallas and jax.default_backend() not in (
             "cpu",
         )
+        self.mesh = self._build_mesh()
+
+    def _build_mesh(self):
+        """('data','model') mesh from cfg.parallel — DP batch sharding is
+        the primary scaling axis (SURVEY.md §2.10); data_axis=-1 auto-sizes
+        to the devices and global batch. A 1×1 mesh degenerates to the
+        single-chip program."""
+        from pixel_heal_thyself_tpu.parallel.mesh import auto_data_axis, make_mesh
+
+        par = self.cfg.parallel
+        n = jax.device_count()
+        data_axis = par.data_axis
+        if data_axis == -1:
+            data_axis = auto_data_axis(n, par.model_axis, self.cfg.trainer.batch_size)
+        mesh = make_mesh(data_axis=data_axis, model_axis=par.model_axis)
+        if self.cfg.trainer.batch_size % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"trainer.batch_size={self.cfg.trainer.batch_size} must be "
+                f"divisible by the data-parallel degree {mesh.shape['data']}",
+            )
+        if mesh.size > 1:
+            logger.info(
+                f"Mesh: {mesh.shape['data']} data x {mesh.shape['model']} "
+                f"model over {n} visible devices",
+            )
+        return mesh
 
     # -- factories -------------------------------------------------------
     def create_generator(self):
@@ -151,17 +177,25 @@ class BaseTrainer:
                 deterministic=self.deterministic,
             ).construct_hdf5()
 
+        from pixel_heal_thyself_tpu.parallel.mesh import batch_sharding, replicated
+
         train_ds = PatchDataset(train_path)
         val_ds = PatchDataset(val_path)
+        dp = self.mesh.shape["data"]
         train_loader = PrefetchLoader(
             train_ds,
             batch_size=self.cfg.trainer.batch_size,
             shuffle=True,
             seed=self.cfg.seed if self.deterministic else None,
             prefetch=self.cfg.trainer.prefetch_batches,
+            # a ragged final batch can't shard over 'data' (and would
+            # retrigger compilation); single-device keeps reference parity
+            drop_last=dp > 1,
+            device=batch_sharding(self.mesh),
         )
         val_loader = PrefetchLoader(
             val_ds, batch_size=1, shuffle=False, prefetch=2,
+            device=replicated(self.mesh),
         )
         return train_loader, val_loader, len(train_ds), len(val_ds)
 
@@ -226,6 +260,15 @@ class BaseTrainer:
             logger.info(
                 f"Resumed from {cfg.trainer.model_path} at epoch {start_epoch}",
             )
+
+        # place states on the mesh: G params TP-shard over 'model' (no-op at
+        # model_axis=1), D + optimizer moments follow, grads psum over 'data'
+        # via XLA from the sharding annotations
+        from pixel_heal_thyself_tpu.parallel.mesh import place_state, replicated
+
+        gstate = place_state(gstate, self.mesh)
+        dstate = place_state(dstate, self.mesh)
+        step_rng = jax.device_put(step_rng, replicated(self.mesh))
 
         logger.debug(describe_params(gstate.params))
         logger.info(
