@@ -2,18 +2,24 @@
 
 Replaces the XLA path's materialized halo windows (~206 MB per tensor per
 layer at prod shapes) and fp32 logits (~411 MB) with an in-VMEM fused
-kernel: each grid program owns one (batch, block-row) stripe, DMAs the
-(block+2·halo)-row slice of the zero-padded k/v images into VMEM scratch,
-and for every block in the row computes q·kᵀ (+relative positional bias),
-an fp32 softmax, and attn·v without touching HBM. Measured on v5e at prod
-shapes (8×128×128×256, block 8, halo 3, 4 heads): 24 ms → ~1 ms forward.
+kernel. Each grid program owns one (batch, block-row) stripe, DMAs the
+(block+2·halo)-row slice of the zero-padded k/v images into VMEM, and
+computes q·kᵀ (+relative positional bias), an fp32 softmax, and attn·v
+without touching HBM.
 
-The backward pass is a sibling kernel (same stripe structure) that
-recomputes the attention probabilities in VMEM and emits
-- dq (exclusive per stripe),
-- per-stripe window gradients for k/v, folded back to images by a cheap
-  XLA overlap-add (the transpose of the slice-concat window extraction),
-- per-program partial rel-bias gradients reduced outside.
+Kernel structure (v2 — stripe-batched): per-block work is batched into
+per-head `dot_general`s with the block axis as a batch dimension, so each
+stripe issues ~8 batched MXU ops instead of hundreds of tiny ones. The
+14-wide halo windows are staged into tile-aligned 16-wide buffers (one
+aligned VMEM copy per block); the two alignment-padding columns per window
+row are masked to -inf in the softmax — they fall inside the same padded
+MXU tile, so they cost nothing, and their gradients are exactly zero,
+which lets the backward accumulate full aligned windows.
+
+The backward pass is a sibling kernel (same stripe structure, one
+recompute of the attention probabilities) that emits dq, per-stripe
+window gradients for k/v (folded back to images by a cheap XLA
+overlap-add), and per-program partial rel-bias gradients reduced outside.
 
 Curve orderings (reference `model.py:477,506`) are intentionally absent:
 permuting queries within a block and inverse-permuting the output is an
@@ -36,28 +42,49 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rel_bias_table(rel_h: jnp.ndarray, rel_w: jnp.ndarray, window: int):
-    """[window², head_ch] additive key bias: first half row-, second half
-    column-embedding (reference model.py:490-498), shared across heads."""
+def _round8(n: int) -> int:
+    return n + ((-n) % 8)
+
+
+def _rel_bias_full(rel_h: jnp.ndarray, rel_w: jnp.ndarray, window: int, heads: int):
+    """[window, wwin, C] additive key bias: first half of each head's
+    channels is the row embedding, second half the column embedding
+    (reference model.py:490-498); identical across heads. Columns past
+    `window` (alignment padding) are zero — they are masked in the
+    softmax and never contribute."""
+    wwin = _round8(window)
     half = rel_h.shape[-1]
+    hd = 2 * half
+    rel_w_pad = jnp.pad(rel_w, ((0, wwin - window), (0, 0)))
     bias = jnp.concatenate(
         [
-            jnp.broadcast_to(rel_h[:, None, :], (window, window, half)),
-            jnp.broadcast_to(rel_w[None, :, :], (window, window, half)),
+            jnp.broadcast_to(rel_h[:, None, :], (window, wwin, half)),
+            jnp.broadcast_to(rel_w_pad[None, :, :], (window, wwin, half)),
         ],
         axis=-1,
-    )
-    return bias.reshape(window * window, 2 * half)
+    )  # [window, wwin, hd]
+    return jnp.tile(bias, (1, 1, heads)).reshape(window, wwin, hd * heads)
+
+
+def _mask_add(window: int, wwin: int) -> jnp.ndarray:
+    """[1, 1, window·wwin] additive logits mask: 0 on real window columns,
+    -inf on the alignment-padding columns."""
+    n = window * wwin
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    return jnp.where(col % wwin < window, 0.0, -1e30).astype(jnp.float32)
 
 
 def _fwd_kernel(
     q_ref,      # [1, bs, W, C] VMEM
-    k_ref,      # [1, Hp, Wp, C] ANY/HBM (padded image)
-    v_ref,      # [1, Hp, Wp, C] ANY/HBM
-    bias_ref,   # [window², hd] VMEM
+    k_ref,      # [1, Hp, Wpp, C] HBM (padded image)
+    v_ref,      # [1, Hp, Wpp, C] HBM
+    bias_ref,   # [window, wwin, C] VMEM fp32
     o_ref,      # [1, bs, W, C] VMEM
-    k_scr,      # [window, Wp, C] VMEM scratch
+    k_scr,      # [window, Wpp, C] VMEM scratch
     v_scr,
+    kwin,       # [wb, window, wwin, C] VMEM scratch (aligned windows)
+    vwin,
+    qall,       # [wb, bs², C] VMEM scratch (block-gathered queries)
     sems,       # DMA semaphores (2,)
     *,
     bs: int,
@@ -68,9 +95,19 @@ def _fwd_kernel(
     bi = pl.program_id(0)
     i = pl.program_id(1)
     window = bs + 2 * halo
+    wwin = _round8(window)
+    n = window * wwin
     c = q_ref.shape[-1]
     hd = c // heads
     scale = jnp.asarray(hd, jnp.float32) ** -0.5
+    dtype = q_ref.dtype
+    # exact f32 matmuls for f32 operands; bf16 operands take the MXU
+    # fast path with f32 accumulation
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
     kdma = pltpu.make_async_copy(
         k_ref.at[bi, pl.ds(i * bs, window)], k_scr, sems.at[0],
@@ -83,46 +120,50 @@ def _fwd_kernel(
     kdma.wait()
     vdma.wait()
 
-    bias = bias_ref[:]  # [window², hd] fp32
+    # stage aligned windows + block-gathered queries (all slices land on
+    # 8-sublane boundaries: bs and wwin are multiples of 8)
+    for bx in range(wb):
+        kwin[bx] = k_scr[:, pl.ds(bx * bs, wwin), :]
+        vwin[bx] = v_scr[:, pl.ds(bx * bs, wwin), :]
+        qall[bx] = q_ref[0, :, pl.ds(bx * bs, bs), :].reshape(bs * bs, c)
+    # fold the rel-pos bias into the keys once per stripe
+    kwin[...] = (kwin[...].astype(jnp.float32) + bias_ref[...][None]).astype(dtype)
 
-    def block_body(bx, _):
-        q_blk = q_ref[0, :, pl.ds(bx * bs, bs), :]       # [bs, bs, C]
-        q_flat = q_blk.reshape(bs * bs, c)
-        k_win = k_scr[:, pl.ds(bx * bs, window), :].reshape(window * window, c)
-        v_win = v_scr[:, pl.ds(bx * bs, window), :].reshape(window * window, c)
+    kv = kwin[...].reshape(wb, n, c)
+    vv = vwin[...].reshape(wb, n, c)
+    qv = qall[...]
+    mask = _mask_add(window, wwin)
 
-        outs = []
-        for h in range(heads):
-            qh = q_flat[:, h * hd : (h + 1) * hd].astype(jnp.float32) * scale
-            kh = k_win[:, h * hd : (h + 1) * hd].astype(jnp.float32) + bias
-            logits = jax.lax.dot_general(
-                qh,
-                kh,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+    outs = []
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jax.lax.dot_general(
+            qv[:, :, sl], kv[:, :, sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ) * scale + mask  # [wb, bs², n]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dtype)
+        outs.append(
+            jax.lax.dot_general(
+                attn, vv[:, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [bs², window²]
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            attn = p / jnp.sum(p, axis=-1, keepdims=True)
-            oh = jax.lax.dot_general(
-                attn,
-                v_win[:, h * hd : (h + 1) * hd].astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [bs², hd]
-            outs.append(oh)
-        o_blk = jnp.concatenate(outs, axis=-1).reshape(bs, bs, c)
-        o_ref[0, :, pl.ds(bx * bs, bs), :] = o_blk.astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, wb, block_body, 0, unroll=True)
+                precision=prec,
+            ),  # [wb, bs², hd]
+        )
+    o_all = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    for bx in range(wb):
+        o_ref[0, :, pl.ds(bx * bs, bs), :] = o_all[bx].reshape(bs, bs, c)
 
 
 def _pad_hw(x: jnp.ndarray, halo: int) -> jnp.ndarray:
-    """Zero-pad H and W by the halo; W additionally rounds up to a multiple
-    of 8 so every Mosaic memref slice of the padded image stays
-    sublane-tile aligned (the extra columns are zeros past the last
-    window and never read)."""
+    """Zero-pad H and W by the halo; W additionally rounds up so the last
+    block's aligned 16-wide window stays in bounds and every Mosaic memref
+    slice of the padded image is sublane-tile aligned (the extra columns
+    are zeros past the last window and softmax-masked)."""
     w = x.shape[2]
     wp = w + 2 * halo
     extra = (-wp) % 8
@@ -130,24 +171,24 @@ def _pad_hw(x: jnp.ndarray, halo: int) -> jnp.ndarray:
 
 
 def _padded_w(w: int, halo: int) -> int:
-    wp = w + 2 * halo
-    return wp + ((-wp) % 8)
+    return _round8(w + 2 * halo)
 
 
 @partial(jax.jit, static_argnames=("block_size", "halo_size", "num_heads"))
 def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
     b, hgt, wdt, c = q.shape
     bs, halo = block_size, halo_size
+    assert bs % 8 == 0, "Pallas path requires 8-aligned blocks (bs % 8 == 0)"
     hb, wb = hgt // bs, wdt // bs
     window = bs + 2 * halo
+    wwin = _round8(window)
     out_dtype = q.dtype
-    # operands stay in the model dtype (bf16 slicing at 8-row offsets is
-    # handled by Mosaic; verified exact vs the f32 path); the kernel still
-    # computes logits/softmax in f32
+    # operands stay in the model dtype (bf16 matmul inputs hit the MXU fast
+    # path); logits/softmax accumulate in f32
     kp = _pad_hw(k, halo)
     vp = _pad_hw(v, halo)
-    bias = _rel_bias_table(
-        rel_h.astype(jnp.float32), rel_w.astype(jnp.float32), window,
+    bias = _rel_bias_full(
+        rel_h.astype(jnp.float32), rel_w.astype(jnp.float32), window, num_heads,
     )
 
     kernel = partial(_fwd_kernel, bs=bs, halo=halo, heads=num_heads, wb=wb)
@@ -162,7 +203,7 @@ def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(
-                (window * window, c // num_heads), lambda bi, i: (0, 0),
+                (window, wwin, c), lambda bi, i: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -174,10 +215,14 @@ def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
         scratch_shapes=[
             pltpu.VMEM((window, _padded_w(wdt, halo), c), q.dtype),
             pltpu.VMEM((window, _padded_w(wdt, halo), c), q.dtype),
+            pltpu.VMEM((wb, window, wwin, c), q.dtype),
+            pltpu.VMEM((wb, window, wwin, c), q.dtype),
+            pltpu.VMEM((wb, bs * bs, c), q.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(q, kp, vp, bias)
     return out.astype(out_dtype)
@@ -185,16 +230,20 @@ def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
 
 def _bwd_kernel(
     q_ref,       # [1, bs, W, C] VMEM
-    k_ref,       # [1, Hp, Wp, C] ANY
-    v_ref,       # [1, Hp, Wp, C] ANY
-    bias_ref,    # [window², hd] VMEM
+    k_ref,       # [1, Hp, Wpp, C] HBM
+    v_ref,       # [1, Hp, Wpp, C] HBM
+    bias_ref,    # [window, wwin, C] VMEM fp32
     do_ref,      # [1, bs, W, C] VMEM
     dq_ref,      # [1, bs, W, C] VMEM out
-    dkw_ref,     # [1, window, Wp, C] VMEM out (per-stripe window grads)
-    dvw_ref,     # [1, window, Wp, C] VMEM out
-    dbias_ref,   # [1, window², hd] VMEM out (per-program partial)
+    dkw_ref,     # [1, window, Wpp, C] VMEM out (per-stripe window grads)
+    dvw_ref,     # [1, window, Wpp, C] VMEM out
+    dbias_ref,   # [1, window·wwin, hd] VMEM out (per-program partial, fp32)
     k_scr,
     v_scr,
+    kwin,
+    vwin,
+    qall,
+    doall,
     sems,
     *,
     bs: int,
@@ -205,9 +254,19 @@ def _bwd_kernel(
     bi = pl.program_id(0)
     i = pl.program_id(1)
     window = bs + 2 * halo
+    wwin = _round8(window)
+    n = window * wwin
     c = q_ref.shape[-1]
     hd = c // heads
     scale = jnp.asarray(hd, jnp.float32) ** -0.5
+    dtype = q_ref.dtype
+    # exact f32 matmuls for f32 operands; bf16 operands take the MXU
+    # fast path with f32 accumulation
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
     kdma = pltpu.make_async_copy(
         k_ref.at[bi, pl.ds(i * bs, window)], k_scr, sems.at[0],
@@ -220,90 +279,95 @@ def _bwd_kernel(
     kdma.wait()
     vdma.wait()
 
-    bias = bias_ref[:]
+    for bx in range(wb):
+        kwin[bx] = k_scr[:, pl.ds(bx * bs, wwin), :]
+        vwin[bx] = v_scr[:, pl.ds(bx * bs, wwin), :]
+        qall[bx] = q_ref[0, :, pl.ds(bx * bs, bs), :].reshape(bs * bs, c)
+        doall[bx] = do_ref[0, :, pl.ds(bx * bs, bs), :].reshape(bs * bs, c)
+    kwin[...] = (kwin[...].astype(jnp.float32) + bias_ref[...][None]).astype(dtype)
+
+    kv = kwin[...].reshape(wb, n, c)
+    vv = vwin[...].reshape(wb, n, c)
+    qv = qall[...]
+    dov = doall[...]
+    mask = _mask_add(window, wwin)
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    dbias_acc = jnp.zeros((n, hd), jnp.float32)
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh, kh, vh, doh = qv[:, :, sl], kv[:, :, sl], vv[:, :, sl], dov[:, :, sl]
+        logits = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ) * scale + mask
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        attn = p / jnp.sum(p, axis=-1, keepdims=True)  # fp32 [wb, bs², n]
+
+        dattn = jax.lax.dot_general(
+            doh, vh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # [wb, bs², n]
+        dlogits = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+        dl = dlogits.astype(dtype)
+        attn_c = attn.astype(dtype)
+        dqh = jax.lax.dot_general(
+            dl, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ) * scale  # [wb, bs², hd]
+        dkh = jax.lax.dot_general(
+            dl, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ) * scale  # [wb, n, hd]
+        dvh = jax.lax.dot_general(
+            attn_c, doh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # [wb, n, hd]
+        dq_parts.append(dqh)
+        dk_parts.append(dkh)
+        dv_parts.append(dvh)
+        dbias_acc = dbias_acc + jnp.sum(dkh, axis=0)
+
+    dq_all = jnp.concatenate(dq_parts, axis=-1).astype(dq_ref.dtype)
+    dkwin = jnp.concatenate(dk_parts, axis=-1).astype(dkw_ref.dtype)
+    dvwin = jnp.concatenate(dv_parts, axis=-1).astype(dvw_ref.dtype)
+    dkwin = dkwin.reshape(wb, window, wwin, c)
+    dvwin = dvwin.reshape(wb, window, wwin, c)
+
     dkw_ref[...] = jnp.zeros_like(dkw_ref)
     dvw_ref[...] = jnp.zeros_like(dvw_ref)
-    dbias_acc0 = jnp.zeros((window * window, hd), jnp.float32)
-
-    def block_body(bx, dbias_acc):
-        q_flat = q_ref[0, :, pl.ds(bx * bs, bs), :].reshape(bs * bs, c)
-        do_flat = do_ref[0, :, pl.ds(bx * bs, bs), :].reshape(bs * bs, c)
-        k_win = k_scr[:, pl.ds(bx * bs, window), :].reshape(window * window, c)
-        v_win = v_scr[:, pl.ds(bx * bs, window), :].reshape(window * window, c)
-
-        dq_parts, dk_parts, dv_parts = [], [], []
-        for h in range(heads):
-            sl = slice(h * hd, (h + 1) * hd)
-            qh = q_flat[:, sl].astype(jnp.float32) * scale
-            kh = k_win[:, sl].astype(jnp.float32) + bias
-            vh = v_win[:, sl].astype(jnp.float32)
-            doh = do_flat[:, sl].astype(jnp.float32)
-
-            logits = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            attn = p / jnp.sum(p, axis=-1, keepdims=True)
-
-            dattn = jax.lax.dot_general(
-                doh, vh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [bs², window²]
-            dlogits = attn * (
-                dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True)
-            )
-            dqh = jax.lax.dot_general(
-                dlogits, kh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            dkh = jax.lax.dot_general(
-                dlogits, qh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [window², hd]
-            dvh = jax.lax.dot_general(
-                attn, doh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [window², hd]
-            dq_parts.append(dqh)
-            dk_parts.append(dkh)
-            dv_parts.append(dvh)
-            dbias_acc = dbias_acc + dkh
-
-        dq_blk = jnp.concatenate(dq_parts, axis=-1).reshape(bs, bs, c)
-        dq_ref[0, :, pl.ds(bx * bs, bs), :] = dq_blk.astype(dq_ref.dtype)
-        dk_win = jnp.concatenate(dk_parts, axis=-1).reshape(window, window, c)
-        dv_win = jnp.concatenate(dv_parts, axis=-1).reshape(window, window, c)
-        # windows overlap along the row only between different bx slices by
-        # 2·halo columns — accumulate into the stripe outputs
-        cur_k = dkw_ref[0, :, pl.ds(bx * bs, window), :]
-        dkw_ref[0, :, pl.ds(bx * bs, window), :] = cur_k + dk_win.astype(
-            dkw_ref.dtype,
-        )
-        cur_v = dvw_ref[0, :, pl.ds(bx * bs, window), :]
-        dvw_ref[0, :, pl.ds(bx * bs, window), :] = cur_v + dv_win.astype(
-            dvw_ref.dtype,
-        )
-        return dbias_acc
-
-    dbias = jax.lax.fori_loop(0, wb, block_body, dbias_acc0, unroll=True)
-    dbias_ref[0] = dbias
+    # overlap-add the aligned windows back onto the stripe: the alignment
+    # padding columns carry exactly-zero gradients (attn == dlogits == 0
+    # there), so accumulating the full 16-wide window is correct
+    for bx in range(wb):
+        dq_ref[0, :, pl.ds(bx * bs, bs), :] = dq_all[bx].reshape(bs, bs, c)
+        cur_k = dkw_ref[0, :, pl.ds(bx * bs, wwin), :]
+        dkw_ref[0, :, pl.ds(bx * bs, wwin), :] = cur_k + dkwin[bx]
+        cur_v = dvw_ref[0, :, pl.ds(bx * bs, wwin), :]
+        dvw_ref[0, :, pl.ds(bx * bs, wwin), :] = cur_v + dvwin[bx]
+    dbias_ref[0] = dbias_acc
 
 
 @partial(jax.jit, static_argnames=("block_size", "halo_size", "num_heads"))
 def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num_heads):
     b, hgt, wdt, c = q.shape
     bs, halo = block_size, halo_size
+    assert bs % 8 == 0, "Pallas path requires 8-aligned blocks (bs % 8 == 0)"
     hb, wb = hgt // bs, wdt // bs
     window = bs + 2 * halo
+    wwin = _round8(window)
     wp = _padded_w(wdt, halo)
     kp = _pad_hw(k, halo)
     vp = _pad_hw(v, halo)
-    qf = q
     dof = do.astype(q.dtype)
-    bias = _rel_bias_table(
-        rel_h.astype(jnp.float32), rel_w.astype(jnp.float32), window,
+    bias = _rel_bias_full(
+        rel_h.astype(jnp.float32), rel_w.astype(jnp.float32), window, num_heads,
     )
     hd = c // num_heads
 
@@ -315,33 +379,37 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
             pl.BlockSpec((1, bs, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((window * window, hd), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((window, wwin, c), lambda bi, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bs, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, bs, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, window, wp, c), lambda bi, i: (bi * hb + i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, window, wp, c), lambda bi, i: (bi * hb + i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, window * window, hd), lambda bi, i: (bi * hb + i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, window * wwin, hd), lambda bi, i: (bi * hb + i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, bs * hb, wdt, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, bs * hb, wdt, c), q.dtype),
             # window grads in the model dtype: halves the HBM traffic of
             # the dominant backward buffers (and of the fold) in bf16 mode
             jax.ShapeDtypeStruct((b * hb, window, wp, c), k.dtype),
             jax.ShapeDtypeStruct((b * hb, window, wp, c), k.dtype),
-            jax.ShapeDtypeStruct((b * hb, window * window, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b * hb, window * wwin, hd), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((window, wp, c), q.dtype),
             pltpu.VMEM((window, wp, c), q.dtype),
+            pltpu.VMEM((wb, window, wwin, c), q.dtype),
+            pltpu.VMEM((wb, window, wwin, c), q.dtype),
+            pltpu.VMEM((wb, bs * bs, c), q.dtype),
+            pltpu.VMEM((wb, bs * bs, c), q.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=32 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(qf, kp, vp, bias, dof)
+    )(q, kp, vp, bias, dof)
 
     # fold per-stripe window grads back onto the padded image (overlap-add
     # along rows), then crop the halo padding
@@ -371,9 +439,9 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
     dk = dk_pad[:, halo : halo + hgt, halo : halo + wdt].astype(k.dtype)
     dv = dv_pad[:, halo : halo + hgt, halo : halo + wdt].astype(v.dtype)
 
-    dbias = jnp.sum(dbias_parts, axis=0)  # [window², hd]
+    dbias = jnp.sum(dbias_parts, axis=0)  # [window·wwin, hd]
     half = hd // 2
-    dbias = dbias.reshape(window, window, hd)
+    dbias = dbias.reshape(window, wwin, hd)[:, :window]
     drel_h = jnp.sum(dbias[..., :half], axis=1).astype(rel_h.dtype)
     drel_w = jnp.sum(dbias[..., half:], axis=0).astype(rel_w.dtype)
     return dq.astype(q.dtype), dk, dv, drel_h, drel_w
