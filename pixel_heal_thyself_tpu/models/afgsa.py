@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pixel_heal_thyself_tpu.models.layers import ConvBlock
+from pixel_heal_thyself_tpu.models.layers import Conv, ConvBlock
 from pixel_heal_thyself_tpu.ops.attention import block_halo_attention
 from pixel_heal_thyself_tpu.ops.curves import (
     CurveOrder,
@@ -56,7 +56,7 @@ class FiLM(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
         ch = x.shape[-1]
-        h = nn.Conv(
+        h = Conv(
             self.hidden,
             (1, 1),
             kernel_init=torch_default_kernel_init,
@@ -65,7 +65,7 @@ class FiLM(nn.Module):
             param_dtype=jnp.float32,
         )(cond)
         h = nn.relu(h)
-        gamma_beta = nn.Conv(
+        gamma_beta = Conv(
             ch * 2,
             (1, 1),
             kernel_init=torch_default_kernel_init,
@@ -110,7 +110,7 @@ class AFGSA(nn.Module):
             )(jnp.concatenate([noisy, aux], axis=-1))
 
         def proj(name, x):
-            return nn.Conv(
+            return Conv(
                 ch,
                 (1, 1),
                 use_bias=self.use_bias,

@@ -23,6 +23,50 @@ from pixel_heal_thyself_tpu.utils.init import (
 )
 
 
+class Conv(nn.Conv):
+    """nn.Conv that lowers 1×1/stride-1 convolutions to a plain matmul.
+
+    XLA:TPU picks a batch-second-minor layout ({3,0,2,1}) for convolution
+    operands while everything else in the model (including the Pallas
+    attention custom-calls) lives in the default NHWC layout — every 1×1
+    conv then costs two full-tensor relayouts. A dot over the flattened
+    pixels carries no layout preference, so the relayouts vanish. Param
+    shapes/names are identical to nn.Conv (kernel [1,1,Cin,F], bias [F]),
+    keeping checkpoints and golden tests unchanged.
+    """
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ks = tuple(
+            (self.kernel_size, self.kernel_size)
+            if isinstance(self.kernel_size, int)
+            else self.kernel_size,
+        )
+        strides = self.strides or 1
+        plain = (
+            ks == (1, 1)
+            and strides in (1, (1, 1))
+            and self.feature_group_count == 1
+            and self.padding in ("VALID", ((0, 0), (0, 0)))
+        )
+        if not plain:
+            return super().__call__(x)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (1, 1, cin, self.features), self.param_dtype,
+        )
+        y = jnp.dot(
+            x.astype(self.dtype), kernel[0, 0].astype(self.dtype),
+            preferred_element_type=self.dtype,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", self.bias_init, (self.features,), self.param_dtype,
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class BatchNorm2d(nn.Module):
     """Batch-statistics normalization with affine params (torch train mode)."""
 
@@ -100,7 +144,7 @@ class ConvBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         fan_in = self.kernel_size * self.kernel_size * x.shape[-1] // self.groups
         x = pad2d(x, self.padding, self.padding_mode)
-        x = nn.Conv(
+        x = Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
