@@ -1,10 +1,17 @@
-"""Run-directory resolver.
+"""Run-directory allocation for the ``${pht_run_dirs:...}`` resolver.
 
-Parity with reference `pht/hydra/plugins/pht_run_dirs_resolver.py:14-118`:
-single runs live in ``outputs/runs/<pattern>/runNNN`` (auto-increment or an
-explicit ``run_num``); multirun/sweep jobs live in
-``outputs/trials/runNNN/<job_subdir>``. A process-level singleton cache
-makes repeated interpolations of the resolver return the same directory.
+Layout contract (capability parity with the reference resolver,
+`pht/hydra/plugins/pht_run_dirs_resolver.py:14-118`):
+
+* single runs:   ``outputs/runs/<base_pattern>/runNNN``
+* sweeps:        ``outputs/trials/runNNN/<job_subdir>``
+
+``NNN`` auto-increments past the highest existing ``runNNN`` sibling unless
+an explicit non-negative ``run_num`` is supplied. Because the config engine
+may interpolate the resolver several times while composing one config (e.g.
+for both the run dir and ``paths.output_dir``), the first resolution is
+pinned in a process-level cache and every later call reuses it — that is
+what guarantees all interpolations land in the same directory.
 """
 
 from __future__ import annotations
@@ -22,10 +29,12 @@ from pixel_heal_thyself_tpu.utils import (
     is_truthy,
 )
 
+_RUN_NAME = re.compile(r"run(\d+)")
+
 
 @dataclass
 class RunDirsCache(metaclass=SingletonMeta):
-    """Singleton caching the resolved run dir within one process."""
+    """Process-level pin of the first resolved run directory."""
 
     is_multirun: Optional[bool] = None
     run_dir: Optional[Path] = None
@@ -35,6 +44,31 @@ class RunDirsCache(metaclass=SingletonMeta):
         self.run_dir = None
 
 
+def _as_run_num(raw) -> int:
+    """Explicit run number, or -1 (auto) for anything non-integer."""
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return -1
+
+
+def _next_free_index(parent: Path) -> int:
+    taken = (
+        int(m.group(1))
+        for m in (_RUN_NAME.match(p.name) for p in parent.iterdir())
+        if m is not None
+    )
+    return max(taken, default=-1) + 1
+
+
+def _allocate_run_dir(parent: Path, run_num: int) -> Path:
+    parent.mkdir(parents=True, exist_ok=True)
+    index = run_num if run_num >= 0 else _next_free_index(parent)
+    allocated = parent / f"run{index:03d}"
+    allocated.mkdir(parents=True, exist_ok=True)
+    return allocated
+
+
 def pht_run_dirs_resolver(
     cfg_output_root_dir: str = "outputs",
     cfg_base_pattern: Optional[str] = None,
@@ -42,60 +76,38 @@ def pht_run_dirs_resolver(
     cfg_run_num: Optional[str] = "-1",
     cfg_is_multirun: Optional[str] = "False",
 ) -> str:
-    """Create (as a side effect) and return the run directory path.
+    """Resolve (creating on first use) the run directory for this process.
 
-    Returns a path relative to the current working directory, exactly like
-    the reference resolver (`pht_run_dirs_resolver.py:31-108`).
+    The argument order is the interpolation contract used by the YAML tree
+    (``${pht_run_dirs:root,pattern,subdir,run_num,is_multirun}``); all values
+    arrive as strings.
     """
     cache = RunDirsCache()
-    cwd = Path.cwd()
-    is_multirun = is_truthy(cfg_is_multirun)
-    job_subdir = None if is_none_or_empty(cfg_job_subdir) else Path(str(cfg_job_subdir))
-    base_pattern = (
-        None if is_none_or_empty(cfg_base_pattern) else Path(str(cfg_base_pattern))
-    )
-
-    try:
-        run_num = int(cfg_run_num)
-    except Exception:
-        run_num = -1
-
-    if is_multirun and cache.is_multirun is None:
+    root = Path.cwd()
+    sweeping = is_truthy(cfg_is_multirun)
+    if sweeping:
         cache.is_multirun = True
 
-    if is_multirun:
-        base_dir = cwd / str(cfg_output_root_dir) / "trials"
-    else:
-        if base_pattern is None:
+    if cache.run_dir is None:
+        if sweeping:
+            parent = root / str(cfg_output_root_dir) / "trials"
+        elif is_none_or_empty(cfg_base_pattern):
             raise ValueError("base_pattern required for single-run directories")
-        base_dir = cwd / str(cfg_output_root_dir) / "runs" / base_pattern
-    base_dir.mkdir(parents=True, exist_ok=True)
+        else:
+            parent = (
+                root / str(cfg_output_root_dir) / "runs" / str(cfg_base_pattern)
+            )
+        cache.run_dir = _allocate_run_dir(parent, _as_run_num(cfg_run_num))
 
-    if run_num != -1:
-        next_num = run_num
-    else:
-        highest = -1
-        for item in base_dir.iterdir():
-            m = re.match(r"run(\d+)", item.name)
-            if m:
-                highest = max(highest, int(m.group(1)))
-        next_num = highest + 1
+    resolved = cache.run_dir
+    # Sweep jobs each get their own leaf under the shared trials/runNNN.
+    if cache.is_multirun and not is_none_or_empty(cfg_job_subdir):
+        resolved = resolved / str(cfg_job_subdir)
+        resolved.mkdir(parents=True, exist_ok=True)
 
-    run_dir: Path = base_dir / f"run{next_num:03d}"
-
-    if not is_none_or_empty(cache.run_dir):
-        run_dir = cache.run_dir
-    else:
-        run_dir.mkdir(parents=True, exist_ok=True)
-        cache.run_dir = run_dir
-
-    if not is_none_or_empty(job_subdir) and cache.is_multirun:
-        run_dir = run_dir / job_subdir
-
-    run_dir.mkdir(parents=True, exist_ok=True)
-    run_dir_str = str(run_dir.relative_to(cwd))
-    logger.info(f"Created run directory: {run_dir_str}")
-    return run_dir_str
+    rel = str(resolved.relative_to(root))
+    logger.info(f"Resolved run directory: {rel}")
+    return rel
 
 
 def register_run_dirs_resolver() -> None:

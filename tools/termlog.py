@@ -1,8 +1,9 @@
-r"""termlog.py — tee-like stdin logger that collapses \r progress lines.
+r"""termlog.py — tee stdin to a log file, collapsing \r progress lines.
 
-Capability parity with reference `tools/termlog.py:23-68`: reads stdin,
-mirrors it raw to stdout, and writes a clean log where carriage-return
-updated lines (progress bars) keep only their final state.
+Capability parity with reference `tools/termlog.py:23-68`: everything read
+from stdin is mirrored verbatim to the terminal, while the log file keeps
+only the final state of each carriage-return-overwritten line (so progress
+bars become a single clean line).
 
 Usage: command | python tools/termlog.py OUTPUT_FILE
 """
@@ -12,25 +13,41 @@ from __future__ import annotations
 import sys
 
 
+class LineCollapser:
+    r"""Accumulates a stream and emits newline-terminated lines to a sink,
+    discarding everything that a later ``\r`` on the same line overwrote."""
+
+    def __init__(self, sink):
+        self._sink = sink
+        self._partial = ""
+
+    def feed(self, chunk: str) -> None:
+        data = self._partial + chunk
+        *complete, self._partial = data.split("\n")
+        for line in complete:
+            self._emit(line.rsplit("\r", 1)[-1] + "\n")
+        # A \r with no newline yet still invalidates what came before it.
+        self._partial = self._partial.rsplit("\r", 1)[-1]
+
+    def close(self) -> None:
+        if self._partial:
+            self._emit(self._partial)
+            self._partial = ""
+
+    def _emit(self, text: str) -> None:
+        self._sink.write(text)
+        self._sink.flush()
+
+
 def process_stream(input_stream, output_file, stdout) -> None:
-    buffer: list[str] = []
-    while True:
-        char = input_stream.read(1)
-        if not char:
-            break
+    collapser = LineCollapser(output_file)
+    # Read one character at a time so live progress bars stay live on the
+    # mirrored terminal instead of arriving in buffered bursts.
+    for char in iter(lambda: input_stream.read(1), ""):
         stdout.write(char)
         stdout.flush()
-        if char == "\r":
-            buffer = []
-        else:
-            buffer.append(char)
-            if char == "\n":
-                output_file.write("".join(buffer))
-                output_file.flush()
-                buffer = []
-    if buffer:
-        output_file.write("".join(buffer))
-        output_file.flush()
+        collapser.feed(char)
+    collapser.close()
 
 
 def main() -> None:
@@ -38,8 +55,8 @@ def main() -> None:
         print(f"Usage: {sys.argv[0]} OUTPUT_FILE")
         sys.exit(1)
     try:
-        with open(sys.argv[1], "w", encoding="utf-8") as f:
-            process_stream(sys.stdin, f, sys.stdout)
+        with open(sys.argv[1], "w", encoding="utf-8") as log:
+            process_stream(sys.stdin, log, sys.stdout)
     except KeyboardInterrupt:
         print("\nInterrupted by user. Exiting.")
         sys.exit(0)
