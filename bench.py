@@ -6,9 +6,11 @@ ONE JSON line.
 
 `vs_baseline` is measured against REF_A100_PATCHES_PER_SEC — an estimate
 of the PyTorch reference's throughput on its A100-class hardware, since
-the reference publishes no numbers (BASELINE.md): fp32/TF32 torch training
-of the same 9.3M-param model with per-batch host preprocessing,
-~1.3 TFLOP/sample effective. The north-star target is vs_baseline ≥ 5.
+the reference publishes no numbers. Derivation in BASELINE.md ("Derivation
+of REF_A100_PATCHES_PER_SEC"): XLA-counted 1.285 TFLOP/sample for the full
+step × a blended TF32-conv/fp32-attention achievable ~48 TFLOP/s on A100
+→ ≈37 p/s, rounded up to 40 to favor the reference. The north-star target
+is vs_baseline ≥ 5.
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REF_A100_PATCHES_PER_SEC = 40.0  # documented estimate, see module docstring
+REF_A100_PATCHES_PER_SEC = 40.0  # derived in BASELINE.md, see module docstring
 
 PATCH = 128
 BATCH = 8
