@@ -119,6 +119,42 @@ def denoise_frame(
     return postprocess_specular(out_log)
 
 
+def denoise_frame_spatial(
+    apply_fn,
+    data: dict[str, np.ndarray],
+    mesh,
+    margin: int = 32,
+) -> np.ndarray:
+    """Denoise one frame with rows sharded over the mesh 'data' axis and
+    halo exchange between neighbor devices (`parallel.spatial`). Boundary
+    semantics match `denoise_frame` (edge replication), so both paths
+    produce the same output when margin covers the receptive field."""
+    from pixel_heal_thyself_tpu.parallel.spatial import sharded_apply_rows
+
+    noisy_log = preprocess_specular(data["noisy"]).astype(np.float32)
+    aux = data["aux"].astype(np.float32).copy()
+    aux[..., :3] = preprocess_normal(aux[..., :3])
+
+    n = mesh.shape["data"]
+    h, w, _ = noisy_log.shape
+    # rows: per-device strips must stay 8-divisible (block-attention grid
+    # alignment); halo exchange supplies the vertical context. columns:
+    # edge-replicate `margin` like the tiled path, so the model sees the
+    # same horizontal border context both ways.
+    step = 8 * n
+    ph = (-h) % step
+    pw = (-w) % 8
+    pad = ((0, ph), (margin, margin + pw), (0, 0))
+    noisy_p = np.pad(noisy_log, pad, mode="edge")[None]
+    aux_p = np.pad(aux, pad, mode="edge")[None]
+
+    out = sharded_apply_rows(
+        apply_fn, mesh, margin, jnp.asarray(noisy_p), jnp.asarray(aux_p),
+    )
+    out_log = np.asarray(out, np.float32)[0, :h, margin : margin + w]
+    return postprocess_specular(out_log)
+
+
 def find_frame_pairs(images_dir: str | Path, noisy_spp: int, gt_spp: int):
     noisy_root = Path(images_dir) / f"{noisy_spp}spp"
     gt_root = Path(images_dir) / f"{gt_spp}spp"
@@ -163,18 +199,32 @@ def run_inference(
     gt_spp: int = 1024,
     save_exr: bool = False,
     scale: float = 1.0,
+    spatial: bool = False,
 ) -> list[dict]:
     model, variables = load_generator(cfg)
     apply_fn = jax.jit(lambda n, a: model.apply(variables, n, a))
     os.makedirs(out_dir, exist_ok=True)
 
+    mesh = None
+    if spatial:
+        from pixel_heal_thyself_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data_axis=len(jax.devices()), model_axis=1)
+        apply_fn = lambda n, a: model.apply(variables, n, a)  # noqa: E731
+        logger.info(
+            f"[Infer] spatial sharding over {mesh.shape['data']} devices",
+        )
+
     results = []
     for stem, noisy_path, gt_path in find_frame_pairs(images_dir, noisy_spp, gt_spp):
         start = time.time()
         data = preprocess_data(noisy_path, gt_path, scale=scale)
-        out_lin = denoise_frame(
-            apply_fn, data, tile=tile, margin=margin, batch_tiles=batch_tiles,
-        )
+        if spatial:
+            out_lin = denoise_frame_spatial(apply_fn, data, mesh, margin=margin)
+        else:
+            out_lin = denoise_frame(
+                apply_fn, data, tile=tile, margin=margin, batch_tiles=batch_tiles,
+            )
         gt_lin = data["gt"].astype(np.float64)
 
         rmse = calculate_rmse(out_lin.astype(np.float64), gt_lin)
@@ -208,7 +258,8 @@ def main(argv=None) -> None:
 
     # inference.* overrides are consumed here, the rest go to the config
     infer_opts = {"tile": 256, "margin": 32, "batch_tiles": 8, "save_exr": False,
-                  "images_dir": None, "out_dir": None, "noisy_spp": 32, "gt_spp": 1024}
+                  "images_dir": None, "out_dir": None, "noisy_spp": 32,
+                  "gt_spp": 1024, "spatial": False}
     cfg_overrides = []
     for ov in args.overrides:
         key, _, val = ov.partition("=")
@@ -242,6 +293,7 @@ def main(argv=None) -> None:
         gt_spp=infer_opts["gt_spp"],
         save_exr=infer_opts["save_exr"],
         scale=cfg.data.images.scale,
+        spatial=infer_opts["spatial"],
     )
 
 

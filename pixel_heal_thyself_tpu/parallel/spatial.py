@@ -38,7 +38,10 @@ def sharded_apply_rows(
 
     def exchange_halo(x):
         # neighbor edge strips: up neighbor's bottom rows, down neighbor's
-        # top rows (zero at the frame boundary, matching frame padding)
+        # top rows. At the frame boundary the halo replicates the frame's
+        # edge row — the same np.pad(mode="edge") semantics the sequential
+        # tiled path uses (inference.extract_tiles), so both full-frame
+        # paths agree at the borders.
         top_edge = x[:, :margin]
         bot_edge = x[:, -margin:]
         fwd = [(i, (i + 1) % n) for i in range(n)]
@@ -46,10 +49,10 @@ def sharded_apply_rows(
         from_up = jax.lax.ppermute(bot_edge, axis, fwd)  # row strip above ours
         from_down = jax.lax.ppermute(top_edge, axis, bwd)
         idx = jax.lax.axis_index(axis)
-        from_up = jnp.where(idx == 0, jnp.zeros_like(from_up), from_up)
-        from_down = jnp.where(
-            idx == n - 1, jnp.zeros_like(from_down), from_down,
-        )
+        rep_top = jnp.repeat(x[:, :1], margin, axis=1)
+        rep_bot = jnp.repeat(x[:, -1:], margin, axis=1)
+        from_up = jnp.where(idx == 0, rep_top, from_up)
+        from_down = jnp.where(idx == n - 1, rep_bot, from_down)
         return jnp.concatenate([from_up, x, from_down], axis=1)
 
     def per_shard(noisy_s, aux_s):

