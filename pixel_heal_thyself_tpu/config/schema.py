@@ -100,6 +100,7 @@ class TrainerConfig:
     # TPU-native knobs (not in the reference)
     precision: str = "bf16"  # compute dtype for conv/attention: bf16 | fp32
     prefetch_batches: int = 2  # host→device prefetch depth
+    num_workers: int = 4  # loader reader threads (reference used 7 procs)
     use_pallas: bool = True  # fused attention kernel (TPU backends only)
     profile_dir: str = ""  # write a jax.profiler trace of early steps here
 
@@ -114,6 +115,7 @@ class ParallelConfig:
     data_axis: int = -1  # -1: use all available devices for data parallelism
     model_axis: int = 1  # tensor-parallel degree (heads/channels)
     spatial_axis: int = 1  # spatial sharding for full-frame inference
+    multihost: bool = False  # jax.distributed auto-init (TPU pod slices)
 
 
 @dataclass

@@ -33,7 +33,7 @@ class PatchDataset:
         if not str(dataset_path).endswith(".h5"):
             raise ValueError("dataset_path must be the path to a .h5 file")
         self.dataset_path = str(dataset_path)
-        self._file: h5py.File | None = None
+        self._files: dict[int, h5py.File] = {}  # one handle per thread
         with h5py.File(self.dataset_path, "r") as f:
             self._len = len(f["aux"])
         logger.info(
@@ -45,9 +45,12 @@ class PatchDataset:
 
     @property
     def file(self) -> h5py.File:
-        if self._file is None:
-            self._file = h5py.File(self.dataset_path, "r")
-        return self._file
+        """Lazy per-thread h5 handle (h5py handles are not thread-safe)."""
+        tid = threading.get_ident()
+        f = self._files.get(tid)
+        if f is None:
+            f = self._files[tid] = h5py.File(self.dataset_path, "r")
+        return f
 
     def batch(self, indices: np.ndarray) -> dict[str, np.ndarray]:
         """Gather a batch; h5py wants sorted unique indices for fancy reads."""
@@ -75,6 +78,8 @@ class PrefetchLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         device=None,
+        host_bounds: tuple[int, int] | None = None,
+        workers: int = 1,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -83,6 +88,13 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.prefetch = max(1, prefetch)
         self.device = device
+        # multi-host: [lo, hi) rows of each global batch that THIS process
+        # reads from disk and feeds to its local devices (disjoint across
+        # hosts; the global array is assembled in _put)
+        self.host_bounds = host_bounds
+        # reader threads (reference used 7 dataloader workers + a prefetch
+        # thread, base_trainer.py:270-290; h5 reads release the GIL)
+        self.workers = max(1, workers)
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -91,6 +103,17 @@ class PrefetchLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _put(self, host: dict[str, np.ndarray]):
+        """Place a host batch on devices — via the cross-process assembly
+        when this is one host of a multi-process run."""
+        if self.device is not None and jax.process_count() > 1:
+            from pixel_heal_thyself_tpu.parallel.distributed import put_global
+
+            return put_global(host, self.device)
+        if self.device is not None:
+            return jax.device_put(host, self.device)
+        return jax.device_put(host)
+
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
         if not self.shuffle:
@@ -98,39 +121,48 @@ class PrefetchLoader:
         seed = (self.seed or 0) + self._epoch
         return np.random.default_rng(seed).permutation(n)
 
+    def _batch_indices(self, indices: np.ndarray, b: int) -> np.ndarray:
+        idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
+        if self.host_bounds is not None:
+            idx = idx[self.host_bounds[0] : self.host_bounds[1]]
+        return idx
+
     def __iter__(self) -> Iterator[dict]:
         indices = self._epoch_indices()
         self._epoch += 1
         nb = len(self)
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        # one bounded queue per worker; batch b is produced by worker
+        # b % workers and consumed round-robin, preserving epoch order
+        depth = max(1, -(-self.prefetch // self.workers))
+        queues = [queue.Queue(maxsize=depth) for _ in range(self.workers)]
 
-        def producer() -> None:
+        def producer(w: int) -> None:
             try:
-                for b in range(nb):
+                for b in range(w, nb, self.workers):
                     if stop.is_set():
                         return
-                    idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
-                    host = self.dataset.batch(idx)
-                    batch = (
-                        jax.device_put(host, self.device)
-                        if self.device is not None
-                        else jax.device_put(host)
-                    )
-                    q.put(batch)
-                q.put(None)
+                    host = self.dataset.batch(self._batch_indices(indices, b))
+                    queues[w].put(self._put(host))
+                queues[w].put(None)
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                queues[w].put(e)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        threads = [
+            threading.Thread(target=producer, args=(w,), daemon=True)
+            for w in range(self.workers)
+        ]
+        for t in threads:
+            t.start()
         try:
-            while True:
-                item = q.get()
-                if item is None:
-                    return
+            for b in range(nb):
+                item = queues[b % self.workers].get()
                 if isinstance(item, Exception):
                     raise item
+                assert item is not None
                 yield item
         finally:
             stop.set()
+            for qd in queues:  # unblock any producer waiting on a full queue
+                while not qd.empty():
+                    qd.get_nowait()

@@ -82,6 +82,16 @@ class BaseTrainer:
         self.deterministic = cfg.trainer.deterministic
         self.model_name = self.__class__.__name__.replace("Trainer", "")
         set_determinism(cfg.seed, self.deterministic, self.model_name)
+        # multi-host: join the jax.distributed runtime BEFORE any device
+        # use; every host then sees the global device set (parallel/
+        # distributed.py — env-driven or parallel.multihost on TPU pods)
+        from pixel_heal_thyself_tpu.parallel.distributed import (
+            is_main_process,
+            maybe_initialize_distributed,
+        )
+
+        maybe_initialize_distributed(cfg.parallel.multihost)
+        self.is_main = is_main_process()
         self.padding_mode = "replicate" if self.deterministic else "reflect"
         if cfg.trainer.precision not in ("bf16", "fp32"):
             raise ValueError(
@@ -182,16 +192,25 @@ class BaseTrainer:
         train_ds = PatchDataset(train_path)
         val_ds = PatchDataset(val_path)
         dp = self.mesh.shape["data"]
+        host_bounds = None
+        if jax.process_count() > 1:
+            from pixel_heal_thyself_tpu.parallel.distributed import (
+                host_batch_bounds,
+            )
+
+            host_bounds = host_batch_bounds(self.cfg.trainer.batch_size)
         train_loader = PrefetchLoader(
             train_ds,
             batch_size=self.cfg.trainer.batch_size,
             shuffle=True,
             seed=self.cfg.seed if self.deterministic else None,
             prefetch=self.cfg.trainer.prefetch_batches,
+            workers=self.cfg.trainer.num_workers,
             # a ragged final batch can't shard over 'data' (and would
             # retrigger compilation); single-device keeps reference parity
             drop_last=dp > 1,
             device=batch_sharding(self.mesh),
+            host_bounds=host_bounds,
         )
         val_loader = PrefetchLoader(
             val_ds, batch_size=1, shuffle=False, prefetch=2,
@@ -355,11 +374,14 @@ class BaseTrainer:
                 f"d_loss={epoch_d:.4f} time={int(end - start)}s "
                 f"({n_train / max(1e-9, end - start):.1f} patches/sec)",
             )
-            with open(os.path.join(root_save_path, "train_loss.txt"), "a") as f:
-                f.write(
-                    f"Epoch: {epoch + 1} \tG loss: {epoch_g:.4f} "
-                    f"\tD Loss: {epoch_d:.4f}\n",
-                )
+            if self.is_main:
+                with open(
+                    os.path.join(root_save_path, "train_loss.txt"), "a",
+                ) as f:
+                    f.write(
+                        f"Epoch: {epoch + 1} \tG loss: {epoch_g:.4f} "
+                        f"\tD Loss: {epoch_d:.4f}\n",
+                    )
 
             if epoch % cfg.trainer.save_interval == 0:
                 self._validate_and_save(

@@ -194,3 +194,18 @@ class TestSyntheticAndStore:
         b1 = next(iter(l1))
         b2 = next(iter(l2))
         np.testing.assert_array_equal(np.asarray(b1["gt"]), np.asarray(b2["gt"]))
+
+        # multi-worker readers preserve the exact single-worker epoch order
+        lw1 = PrefetchLoader(train, batch_size=2, seed=7, workers=1)
+        lw3 = PrefetchLoader(train, batch_size=2, seed=7, workers=3)
+        for a, b in zip(lw1, lw3, strict=True):
+            np.testing.assert_array_equal(np.asarray(a["gt"]), np.asarray(b["gt"]))
+
+        # host_bounds slices each global batch's rows (multi-host feed)
+        full = PrefetchLoader(train, batch_size=4, seed=9)
+        half = PrefetchLoader(train, batch_size=4, seed=9, host_bounds=(2, 4))
+        fb = next(iter(full))
+        hb = next(iter(half))
+        np.testing.assert_array_equal(
+            np.asarray(fb["noisy"])[2:4], np.asarray(hb["noisy"]),
+        )

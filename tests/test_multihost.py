@@ -1,0 +1,105 @@
+"""Multi-host (2-process) CPU smoke for the jax.distributed runtime.
+
+SURVEY.md §2.10 commits to a multi-host comm backend (`jax.distributed` +
+per-host data sharding); the reference has nothing distributed. This test
+runs tests/multihost_worker.py twice:
+
+1. one process owning 4 virtual CPU devices (the single-host baseline);
+2. two coordinated processes owning 2 devices each (Gloo collectives),
+   each reading a disjoint half of every global batch via
+   `PrefetchLoader(host_bounds=...)` and assembling global arrays with
+   `jax.make_array_from_process_local_data`.
+
+Equal loss trajectories prove the distributed bootstrap, the disjoint
+per-host loading, and the cross-process DP train step.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import h5py
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+WORKER = REPO / "tests" / "multihost_worker.py"
+
+
+def _make_patch_store(path: Path, n: int = 12, patch: int = 16) -> None:
+    rng = np.random.default_rng(0)
+    with h5py.File(path, "w") as f:
+        f.create_dataset(
+            "noisy", data=rng.uniform(0, 2, (n, patch, patch, 3)).astype(np.float32),
+        )
+        f.create_dataset(
+            "gt", data=rng.uniform(0, 2, (n, patch, patch, 3)).astype(np.float32),
+        )
+        f.create_dataset(
+            "aux", data=rng.uniform(-1, 1, (n, patch, patch, 7)).astype(np.float32),
+        )
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_worker(proc_id, nproc, local_devices, h5, port):
+    return subprocess.Popen(
+        [
+            sys.executable, str(WORKER),
+            str(proc_id), str(nproc), str(local_devices), str(h5), str(port),
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        cwd=str(REPO),
+        env={
+            **{
+                k: v
+                for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+            },
+            "PYTHONPATH": str(REPO),
+        },
+    )
+
+
+def _parse(output: str) -> dict:
+    for line in output.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise AssertionError(f"worker produced no RESULT line:\n{output}")
+
+
+@pytest.mark.slow
+def test_two_process_dp_matches_single_process(tmp_path):
+    h5 = tmp_path / "train.h5"
+    _make_patch_store(h5)
+
+    single = _run_worker(0, 1, 4, h5, 0)
+    out, _ = single.communicate(timeout=900)
+    assert single.returncode == 0, out
+    ref = _parse(out)
+    assert len(ref["losses"]) == 3  # 12 samples / batch 4
+
+    port = _free_port()
+    procs = [_run_worker(i, 2, 2, h5, port) for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    results = [_parse(o) for o in outs]
+
+    # both hosts observe the same (replicated) loss values
+    np.testing.assert_allclose(
+        results[0]["losses"], results[1]["losses"], rtol=1e-6,
+    )
+    # and the 2-host trajectory matches the single-host one
+    np.testing.assert_allclose(
+        results[0]["losses"], ref["losses"], rtol=1e-4, atol=1e-6,
+    )
