@@ -3,23 +3,28 @@
 Replaces the XLA path's materialized halo windows (~206 MB per tensor per
 layer at prod shapes) and fp32 logits (~411 MB) with an in-VMEM fused
 kernel. Each grid program owns one (batch, block-row) stripe, DMAs the
-(block+2·halo)-row slice of the zero-padded k/v images into VMEM, and
-computes q·kᵀ (+relative positional bias), an fp32 softmax, and attn·v
-without touching HBM.
+(block+2·halo)-row slice of the k/v images into VMEM — the vertical halo
+rows outside the frame are zero-filled in VMEM, so the images never get
+padded in HBM — and computes q·kᵀ (+relative positional bias), an fp32
+softmax, and attn·v without touching HBM.
 
-Kernel structure (v2 — stripe-batched): per-block work is batched into
-per-head `dot_general`s with the block axis as a batch dimension, so each
-stripe issues ~8 batched MXU ops instead of hundreds of tiny ones. The
-14-wide halo windows are staged into tile-aligned 16-wide buffers (one
-aligned VMEM copy per block); the two alignment-padding columns per window
-row are masked to -inf in the softmax — they fall inside the same padded
-MXU tile, so they cost nothing, and their gradients are exactly zero,
-which lets the backward accumulate full aligned windows.
+Kernel structure (v3 — stripe-batched, image-accumulating backward):
+per-block work is batched into per-head `dot_general`s with the block axis
+as a batch dimension, so each stripe issues ~8 batched MXU ops instead of
+hundreds of tiny ones. The 14-wide halo windows are staged into
+tile-aligned 16-wide buffers (one aligned VMEM copy per block); the two
+alignment-padding columns per window row are masked to -inf in the softmax
+— they fall inside the same padded MXU tile, so they cost nothing, and
+their gradients are exactly zero, which lets the backward accumulate full
+aligned windows.
 
 The backward pass is a sibling kernel (same stripe structure, one
-recompute of the attention probabilities) that emits dq, per-stripe
-window gradients for k/v (folded back to images by a cheap XLA
-overlap-add), and per-program partial rel-bias gradients reduced outside.
+recompute of the attention probabilities) that emits dq and accumulates
+dk/dv directly into per-batch image blocks kept in VMEM across the
+sequential stripe iterations (grid revisiting) — stripes overlap by the
+halo rows, and the overlap-add happens in VMEM instead of a separate XLA
+fold pass over per-stripe window tensors. Rel-bias gradients accumulate
+the same way and reduce over batch outside.
 
 Curve orderings (reference `model.py:477,506`) are intentionally absent:
 permuting queries within a block and inverse-permuting the output is an
@@ -28,7 +33,9 @@ independently — verified against the torch oracle for raster/hilbert/
 z-order in tests/test_attention.py.
 
 Semantics match `ops.attention.block_halo_attention_xla` (reference
-`pht/models/afgsa/model.py:456-516`).
+`pht/models/afgsa/model.py:456-516`): out-of-frame halo keys are zero
+vectors that still receive the relative positional bias and participate in
+the softmax (the reference's `F.unfold` zero padding).
 """
 
 from __future__ import annotations
@@ -74,10 +81,66 @@ def _mask_add(window: int, wwin: int) -> jnp.ndarray:
     return jnp.where(col % wwin < window, 0.0, -1e30).astype(jnp.float32)
 
 
+def _load_stripe(ref, scr, sem, bi, i, *, bs, halo, hb):
+    """DMA the halo-extended row stripe [i·bs−halo, i·bs−halo+window) of an
+    UNPADDED-H image into `scr`, zero-filling the rows outside the frame.
+
+    Emits one static-shape copy per boundary case (Pallas DMAs need static
+    sizes). `hb` is static, so the single-stripe case is a Python branch.
+    """
+    window = bs + 2 * halo
+    himg = ref.shape[1]
+
+    def zero_rows(lo, hi):
+        scr[lo:hi] = jnp.zeros_like(scr[lo:hi])
+
+    if hb == 1:
+        # one stripe: both edges are frame boundary
+        rows = min(himg, window - halo)
+        zero_rows(0, halo)
+        zero_rows(halo + rows, window)
+        cp = pltpu.make_async_copy(
+            ref.at[bi, pl.ds(0, rows)], scr.at[pl.ds(halo, rows)], sem,
+        )
+        cp.start()
+        cp.wait()
+        return
+
+    @pl.when(i == 0)
+    def _():
+        zero_rows(0, halo)
+        cp = pltpu.make_async_copy(
+            ref.at[bi, pl.ds(0, window - halo)],
+            scr.at[pl.ds(halo, window - halo)],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(jnp.logical_and(i > 0, i < hb - 1))
+    def _():
+        cp = pltpu.make_async_copy(
+            ref.at[bi, pl.ds(i * bs - halo, window)], scr, sem,
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == hb - 1)
+    def _():
+        zero_rows(window - halo, window)
+        cp = pltpu.make_async_copy(
+            ref.at[bi, pl.ds(i * bs - halo, window - halo)],
+            scr.at[pl.ds(0, window - halo)],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+
 def _fwd_kernel(
     q_ref,      # [1, bs, W, C] VMEM
-    k_ref,      # [1, Hp, Wpp, C] HBM (padded image)
-    v_ref,      # [1, Hp, Wpp, C] HBM
+    k_ref,      # [1, H, Wpp, C] HBM (W-padded, H raw)
+    v_ref,      # [1, H, Wpp, C] HBM
     bias_ref,   # [window, wwin, C] VMEM fp32
     o_ref,      # [1, bs, W, C] VMEM
     k_scr,      # [window, Wpp, C] VMEM scratch
@@ -91,6 +154,7 @@ def _fwd_kernel(
     halo: int,
     heads: int,
     wb: int,
+    hb: int,
 ):
     bi = pl.program_id(0)
     i = pl.program_id(1)
@@ -109,16 +173,8 @@ def _fwd_kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    kdma = pltpu.make_async_copy(
-        k_ref.at[bi, pl.ds(i * bs, window)], k_scr, sems.at[0],
-    )
-    vdma = pltpu.make_async_copy(
-        v_ref.at[bi, pl.ds(i * bs, window)], v_scr, sems.at[1],
-    )
-    kdma.start()
-    vdma.start()
-    kdma.wait()
-    vdma.wait()
+    _load_stripe(k_ref, k_scr, sems.at[0], bi, i, bs=bs, halo=halo, hb=hb)
+    _load_stripe(v_ref, v_scr, sems.at[1], bi, i, bs=bs, halo=halo, hb=hb)
 
     # stage aligned windows + block-gathered queries (all slices land on
     # 8-sublane boundaries: bs and wwin are multiples of 8)
@@ -159,15 +215,13 @@ def _fwd_kernel(
         o_ref[0, :, pl.ds(bx * bs, bs), :] = o_all[bx].reshape(bs, bs, c)
 
 
-def _pad_hw(x: jnp.ndarray, halo: int) -> jnp.ndarray:
-    """Zero-pad H and W by the halo; W additionally rounds up so the last
-    block's aligned 16-wide window stays in bounds and every Mosaic memref
-    slice of the padded image is sublane-tile aligned (the extra columns
-    are zeros past the last window and softmax-masked)."""
+def _pad_w(x: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Zero-pad W by the halo (rounding up so the last block's aligned
+    16-wide window stays in bounds and every Mosaic memref slice is
+    sublane-tile aligned); H is handled in-kernel by `_load_stripe`."""
     w = x.shape[2]
-    wp = w + 2 * halo
-    extra = (-wp) % 8
-    return jnp.pad(x, ((0, 0), (halo, halo), (halo, halo + extra), (0, 0)))
+    extra = (-(w + 2 * halo)) % 8
+    return jnp.pad(x, ((0, 0), (0, 0), (halo, halo + extra), (0, 0)))
 
 
 def _padded_w(w: int, halo: int) -> int:
@@ -185,13 +239,15 @@ def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
     out_dtype = q.dtype
     # operands stay in the model dtype (bf16 matmul inputs hit the MXU fast
     # path); logits/softmax accumulate in f32
-    kp = _pad_hw(k, halo)
-    vp = _pad_hw(v, halo)
+    kp = _pad_w(k, halo)
+    vp = _pad_w(v, halo)
     bias = _rel_bias_full(
         rel_h.astype(jnp.float32), rel_w.astype(jnp.float32), window, num_heads,
     )
 
-    kernel = partial(_fwd_kernel, bs=bs, halo=halo, heads=num_heads, wb=wb)
+    kernel = partial(
+        _fwd_kernel, bs=bs, halo=halo, heads=num_heads, wb=wb, hb=hb,
+    )
     out = pl.pallas_call(
         kernel,
         grid=(b, hb),
@@ -230,14 +286,14 @@ def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
 
 def _bwd_kernel(
     q_ref,       # [1, bs, W, C] VMEM
-    k_ref,       # [1, Hp, Wpp, C] HBM
-    v_ref,       # [1, Hp, Wpp, C] HBM
+    k_ref,       # [1, H, Wpp, C] HBM
+    v_ref,       # [1, H, Wpp, C] HBM
     bias_ref,    # [window, wwin, C] VMEM fp32
     do_ref,      # [1, bs, W, C] VMEM
     dq_ref,      # [1, bs, W, C] VMEM out
-    dkw_ref,     # [1, window, Wpp, C] VMEM out (per-stripe window grads)
-    dvw_ref,     # [1, window, Wpp, C] VMEM out
-    dbias_ref,   # [1, window·wwin, hd] VMEM out (per-program partial, fp32)
+    dki_ref,     # [1, H, Wpp, C] VMEM out — per-batch image accumulator
+    dvi_ref,     # [1, H, Wpp, C] VMEM out
+    dbias_ref,   # [1, window·wwin, hd] VMEM out — per-batch fp32 accumulator
     k_scr,
     v_scr,
     kwin,
@@ -250,6 +306,7 @@ def _bwd_kernel(
     halo: int,
     heads: int,
     wb: int,
+    hb: int,
 ):
     bi = pl.program_id(0)
     i = pl.program_id(1)
@@ -268,16 +325,16 @@ def _bwd_kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    kdma = pltpu.make_async_copy(
-        k_ref.at[bi, pl.ds(i * bs, window)], k_scr, sems.at[0],
-    )
-    vdma = pltpu.make_async_copy(
-        v_ref.at[bi, pl.ds(i * bs, window)], v_scr, sems.at[1],
-    )
-    kdma.start()
-    vdma.start()
-    kdma.wait()
-    vdma.wait()
+    _load_stripe(k_ref, k_scr, sems.at[0], bi, i, bs=bs, halo=halo, hb=hb)
+    _load_stripe(v_ref, v_scr, sems.at[1], bi, i, bs=bs, halo=halo, hb=hb)
+
+    # the dk/dv image blocks are revisited across the (sequential) stripe
+    # iterations of one batch element; initialize on the first stripe
+    @pl.when(i == 0)
+    def _():
+        dki_ref[...] = jnp.zeros_like(dki_ref)
+        dvi_ref[...] = jnp.zeros_like(dvi_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
     for bx in range(wb):
         kwin[bx] = k_scr[:, pl.ds(bx * bs, wwin), :]
@@ -332,26 +389,53 @@ def _bwd_kernel(
         dq_parts.append(dqh)
         dk_parts.append(dkh)
         dv_parts.append(dvh)
-        dbias_acc = dbias_acc + jnp.sum(dkh, axis=0)
+        dbias_acc = dbias_acc + jnp.sum(dkh, axis=0).astype(jnp.float32)
 
     dq_all = jnp.concatenate(dq_parts, axis=-1).astype(dq_ref.dtype)
-    dkwin = jnp.concatenate(dk_parts, axis=-1).astype(dkw_ref.dtype)
-    dvwin = jnp.concatenate(dv_parts, axis=-1).astype(dvw_ref.dtype)
+    dkwin = jnp.concatenate(dk_parts, axis=-1).astype(dki_ref.dtype)
+    dvwin = jnp.concatenate(dv_parts, axis=-1).astype(dvi_ref.dtype)
     dkwin = dkwin.reshape(wb, window, wwin, c)
     dvwin = dvwin.reshape(wb, window, wwin, c)
 
-    dkw_ref[...] = jnp.zeros_like(dkw_ref)
-    dvw_ref[...] = jnp.zeros_like(dvw_ref)
-    # overlap-add the aligned windows back onto the stripe: the alignment
-    # padding columns carry exactly-zero gradients (attn == dlogits == 0
-    # there), so accumulating the full 16-wide window is correct
     for bx in range(wb):
         dq_ref[0, :, pl.ds(bx * bs, bs), :] = dq_all[bx].reshape(bs, bs, c)
-        cur_k = dkw_ref[0, :, pl.ds(bx * bs, wwin), :]
-        dkw_ref[0, :, pl.ds(bx * bs, wwin), :] = cur_k + dkwin[bx]
-        cur_v = dvw_ref[0, :, pl.ds(bx * bs, wwin), :]
-        dvw_ref[0, :, pl.ds(bx * bs, wwin), :] = cur_v + dvwin[bx]
-    dbias_ref[0] = dbias_acc
+
+    # overlap-add the window grads straight into the VMEM image blocks:
+    # stripe row j maps to image row i·bs − halo + j; rows outside the
+    # frame are grads of the zero-filled halo — dropped. The alignment
+    # padding columns carry exactly-zero gradients (attn == dlogits == 0
+    # there), so accumulating full aligned windows over W is correct.
+    def accumulate(jlo: int, jhi: int, row0):
+        rows = jhi - jlo
+        for bx in range(wb):
+            sl_w = pl.ds(bx * bs, wwin)
+            sl_r = pl.ds(row0, rows)
+            dki_ref[0, sl_r, sl_w, :] = (
+                dki_ref[0, sl_r, sl_w, :] + dkwin[bx, jlo:jhi]
+            )
+            dvi_ref[0, sl_r, sl_w, :] = (
+                dvi_ref[0, sl_r, sl_w, :] + dvwin[bx, jlo:jhi]
+            )
+
+    himg = k_ref.shape[1]
+    if hb == 1:
+        accumulate(halo, halo + min(himg, window - halo), 0)
+    else:
+        @pl.when(i == 0)
+        def _():
+            accumulate(halo, window, 0)
+
+        @pl.when(jnp.logical_and(i > 0, i < hb - 1))
+        def _():
+            accumulate(0, window, i * bs - halo)
+
+        @pl.when(i == hb - 1)
+        def _():
+            accumulate(0, window - halo, i * bs - halo)
+
+    # bias gradients DO include the out-of-frame halo keys: the bias was
+    # added to those zero keys and they participated in the softmax
+    dbias_ref[0] = dbias_ref[0] + dbias_acc
 
 
 @partial(jax.jit, static_argnames=("block_size", "halo_size", "num_heads"))
@@ -363,16 +447,18 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
     window = bs + 2 * halo
     wwin = _round8(window)
     wp = _padded_w(wdt, halo)
-    kp = _pad_hw(k, halo)
-    vp = _pad_hw(v, halo)
+    kp = _pad_w(k, halo)
+    vp = _pad_w(v, halo)
     dof = do.astype(q.dtype)
     bias = _rel_bias_full(
         rel_h.astype(jnp.float32), rel_w.astype(jnp.float32), window, num_heads,
     )
     hd = c // num_heads
 
-    kernel = partial(_bwd_kernel, bs=bs, halo=halo, heads=num_heads, wb=wb)
-    dq, dkw, dvw, dbias_parts = pl.pallas_call(
+    kernel = partial(
+        _bwd_kernel, bs=bs, halo=halo, heads=num_heads, wb=wb, hb=hb,
+    )
+    dq, dk_img, dv_img, dbias_b = pl.pallas_call(
         kernel,
         grid=(b, hb),
         in_specs=[
@@ -384,17 +470,19 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
         ],
         out_specs=(
             pl.BlockSpec((1, bs, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, window, wp, c), lambda bi, i: (bi * hb + i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, window, wp, c), lambda bi, i: (bi * hb + i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, window * wwin, hd), lambda bi, i: (bi * hb + i, 0, 0), memory_space=pltpu.VMEM),
+            # dk/dv: whole-image blocks revisited across stripes (i is
+            # sequential), accumulated in VMEM, written back once per batch
+            pl.BlockSpec((1, hgt, wp, c), lambda bi, i: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hgt, wp, c), lambda bi, i: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, window * wwin, hd), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, bs * hb, wdt, c), q.dtype),
-            # window grads in the model dtype: halves the HBM traffic of
-            # the dominant backward buffers (and of the fold) in bf16 mode
-            jax.ShapeDtypeStruct((b * hb, window, wp, c), k.dtype),
-            jax.ShapeDtypeStruct((b * hb, window, wp, c), k.dtype),
-            jax.ShapeDtypeStruct((b * hb, window * wwin, hd), jnp.float32),
+            # image grads in the model dtype (same precision as the v2
+            # window-tensor fold, at ~1/14th the HBM traffic)
+            jax.ShapeDtypeStruct((b, hgt, wp, c), k.dtype),
+            jax.ShapeDtypeStruct((b, hgt, wp, c), k.dtype),
+            jax.ShapeDtypeStruct((b, window * wwin, hd), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((window, wp, c), q.dtype),
@@ -411,35 +499,10 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
         ),
     )(q, kp, vp, bias, dof)
 
-    # fold per-stripe window grads back onto the padded image (overlap-add
-    # along rows), then crop the halo padding
-    dkw = dkw.reshape(b, hb, window, wp, c)
-    dvw = dvw.reshape(b, hb, window, wp, c)
+    dk = dk_img[:, :, halo : halo + wdt].astype(k.dtype)
+    dv = dv_img[:, :, halo : halo + wdt].astype(v.dtype)
 
-    def fold_rows(dw):
-        """Overlap-add stripes back to the padded image: stripe i covers
-        padded rows [i·bs, i·bs + window). Head rows [0, bs) tile exactly;
-        tail rows [bs, window) overlap the next stripe's head."""
-        head = dw[:, :, :bs]                       # [b, hb, bs, wp, c]
-        tail = dw[:, :, bs:]                       # [b, hb, 2·halo, wp, c]
-        img = jnp.zeros((b, hgt + 2 * halo, wp, c), dw.dtype)
-        img = img.at[:, : hb * bs].add(head.reshape(b, hb * bs, wp, c))
-        # pad each tail to a full block of rows so the reshape tiles, then
-        # shift by bs; the padded rows are zeros and the last stripe's
-        # spill past the image is cropped
-        tail_padded = jnp.pad(
-            tail, ((0, 0), (0, 0), (0, bs - 2 * halo), (0, 0), (0, 0)),
-        ).reshape(b, hb * bs, wp, c)
-        tail_full = jnp.zeros((b, bs + hb * bs, wp, c), dw.dtype)
-        tail_full = tail_full.at[:, bs:].add(tail_padded)
-        return img + tail_full[:, : hgt + 2 * halo]
-
-    dk_pad = fold_rows(dkw)
-    dv_pad = fold_rows(dvw)
-    dk = dk_pad[:, halo : halo + hgt, halo : halo + wdt].astype(k.dtype)
-    dv = dv_pad[:, halo : halo + hgt, halo : halo + wdt].astype(v.dtype)
-
-    dbias = jnp.sum(dbias_parts, axis=0)  # [window·wwin, hd]
+    dbias = jnp.sum(dbias_b, axis=0)  # [window·wwin, hd]
     half = hd // 2
     dbias = dbias.reshape(window, wwin, hd)[:, :window]
     drel_h = jnp.sum(dbias[..., :half], axis=1).astype(rel_h.dtype)
