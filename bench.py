@@ -41,7 +41,10 @@ def main() -> None:
     )
 
     use_pallas = jax.default_backend() not in ("cpu",)
-    g_model = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas)
+    # num_gcp=0: gradient checkpointing off — the reference remats 3/5
+    # blocks to fit a 24 GB RTX 3090 (model.py:661); at prod shapes the
+    # full activation set fits v5e HBM, so the recompute is pure waste
+    g_model = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0)
     d_model = DiscriminatorVGG(input_size=PATCH, dtype=jnp.bfloat16)
     g_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
     d_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
