@@ -35,6 +35,63 @@ class TestLpips:
         assert out.min() >= -1.0 - 1e-6 and out.max() <= 1.0
         assert out[0, 0] == -1.0  # zero radiance → -1
 
+    def test_matches_torch_lpips_oracle(self):
+        """Pin the LPIPS forward semantics against an independent torch
+        port of the `lpips` package's published math (scaling layer,
+        VGG16 features, taps after relu{1_2,2_2,3_3,4_3,5_3},
+        channel-unit-normalize, squared diff, 1x1 lin, spatial mean, sum
+        over taps) with shared random weights. With this green, a real
+        converted weight npz (tools/convert_lpips_weights.py) is
+        plug-and-play."""
+        import torch
+
+        from pixel_heal_thyself_tpu.models import lpips as L
+
+        params = random_lpips_params(3)
+        rng = np.random.default_rng(2)
+        x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+        y = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+        got = np.asarray(lpips_distance(params, jnp.asarray(x), jnp.asarray(y)))
+
+        shift = torch.tensor(L._SHIFT).view(1, 3, 1, 1).double()
+        scale = torch.tensor(L._SCALE).view(1, 3, 1, 1).double()
+        convs = [
+            (
+                torch.from_numpy(
+                    np.asarray(w).transpose(3, 2, 0, 1).copy(),
+                ).double(),
+                torch.from_numpy(np.asarray(b).copy()).double(),
+            )
+            for w, b in params["convs"]
+        ]
+        lins = [torch.from_numpy(np.asarray(lw).copy()).double() for lw in params["lins"]]
+
+        def vgg_taps(img):  # img: NCHW in [-1, 1]
+            h = (img - shift) / scale
+            taps = []
+            for i, ((conv_idx, _), (w, b)) in enumerate(zip(L._VGG16_CONVS, convs)):
+                if conv_idx in L._POOL_BEFORE:
+                    h = torch.nn.functional.max_pool2d(h, 2)
+                h = torch.nn.functional.relu(
+                    torch.nn.functional.conv2d(h, w, b, padding=1),
+                )
+                if conv_idx + 1 in L._TAP_AFTER:
+                    taps.append(h)
+            return taps
+
+        def unit_norm(t):  # lpips.normalize_tensor
+            return t / (torch.sqrt(torch.sum(t**2, dim=1, keepdim=True)) + 1e-10)
+
+        with torch.no_grad():
+            tx = torch.from_numpy(x.transpose(0, 3, 1, 2)).double()
+            ty = torch.from_numpy(y.transpose(0, 3, 1, 2)).double()
+            want = torch.zeros(2, dtype=torch.float64)
+            for fa, fb, lw in zip(vgg_taps(tx), vgg_taps(ty), lins):
+                d = (unit_norm(fa) - unit_norm(fb)) ** 2
+                want = want + (d * lw.view(1, -1, 1, 1)).sum(1).mean((1, 2))
+
+        np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=1e-5)
+
     def test_trains_with_lpips_loss(self):
         import jax
 
