@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pixel_heal_thyself_tpu.utils.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 REF_A100_PATCHES_PER_SEC = 40.0  # derived in BASELINE.md, see module docstring
 
 PATCH = 128

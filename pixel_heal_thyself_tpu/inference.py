@@ -251,6 +251,11 @@ def run_inference(
 
 
 def main(argv=None) -> None:
+    from pixel_heal_thyself_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="pixel_heal_thyself_tpu.inference")
     parser.add_argument("-cn", "--config-name", default="default")
     parser.add_argument("overrides", nargs="*")

@@ -81,24 +81,26 @@ def _mask_add(window: int, wwin: int) -> jnp.ndarray:
     return jnp.where(col % wwin < window, 0.0, -1e30).astype(jnp.float32)
 
 
-def _load_stripe(ref, scr, sem, bi, i, *, bs, halo, hb):
-    """DMA the halo-extended row stripe [i·bs−halo, i·bs−halo+window) of an
-    UNPADDED-H image into `scr`, zero-filling the rows outside the frame.
+def _load_stripe(ref, scr, sem, bi, i, *, rows_per, halo, n_programs):
+    """DMA the halo-extended row stripe [i·rows_per−halo, …+rows_per+2·halo)
+    of an UNPADDED-H image into `scr`, zero-filling the rows outside the
+    frame.
 
     Emits one static-shape copy per boundary case (Pallas DMAs need static
-    sizes). `hb` is static, so the single-stripe case is a Python branch.
+    sizes). `n_programs` is static, so the single-stripe case is a Python
+    branch.
     """
-    window = bs + 2 * halo
+    srows = rows_per + 2 * halo
     himg = ref.shape[1]
 
     def zero_rows(lo, hi):
         scr[lo:hi] = jnp.zeros_like(scr[lo:hi])
 
-    if hb == 1:
+    if n_programs == 1:
         # one stripe: both edges are frame boundary
-        rows = min(himg, window - halo)
+        rows = min(himg, srows - halo)
         zero_rows(0, halo)
-        zero_rows(halo + rows, window)
+        zero_rows(halo + rows, srows)
         cp = pltpu.make_async_copy(
             ref.at[bi, pl.ds(0, rows)], scr.at[pl.ds(halo, rows)], sem,
         )
@@ -110,57 +112,72 @@ def _load_stripe(ref, scr, sem, bi, i, *, bs, halo, hb):
     def _():
         zero_rows(0, halo)
         cp = pltpu.make_async_copy(
-            ref.at[bi, pl.ds(0, window - halo)],
-            scr.at[pl.ds(halo, window - halo)],
+            ref.at[bi, pl.ds(0, srows - halo)],
+            scr.at[pl.ds(halo, srows - halo)],
             sem,
         )
         cp.start()
         cp.wait()
 
-    @pl.when(jnp.logical_and(i > 0, i < hb - 1))
+    @pl.when(jnp.logical_and(i > 0, i < n_programs - 1))
     def _():
         cp = pltpu.make_async_copy(
-            ref.at[bi, pl.ds(i * bs - halo, window)], scr, sem,
+            ref.at[bi, pl.ds(i * rows_per - halo, srows)], scr, sem,
         )
         cp.start()
         cp.wait()
 
-    @pl.when(i == hb - 1)
+    @pl.when(i == n_programs - 1)
     def _():
-        zero_rows(window - halo, window)
+        zero_rows(srows - halo, srows)
         cp = pltpu.make_async_copy(
-            ref.at[bi, pl.ds(i * bs - halo, window - halo)],
-            scr.at[pl.ds(0, window - halo)],
+            ref.at[bi, pl.ds(i * rows_per - halo, srows - halo)],
+            scr.at[pl.ds(0, srows - halo)],
             sem,
         )
         cp.start()
         cp.wait()
+
+
+def _rows_per_program(hb: int, bs: int, cap: int = 4) -> int:
+    """Block-rows handled by one grid program: amortizes the per-stripe
+    DMA/staging/softmax overhead over more MXU work. Capped so the staged
+    windows and fp32 softmax temporaries fit VMEM; must divide hb. The
+    backward caps at 2: its per-batch dk/dv image accumulators plus the
+    fp32 dattn/dlogits chain blow the 128M VMEM budget at 4 (measured
+    136.8M on v5e)."""
+    for rb in (4, 2):
+        if rb <= cap and hb % rb == 0:
+            return rb
+    return 1
 
 
 def _fwd_kernel(
-    q_ref,      # [1, bs, W, C] VMEM
+    q_ref,      # [1, rb·bs, W, C] VMEM
     k_ref,      # [1, H, Wpp, C] HBM (W-padded, H raw)
     v_ref,      # [1, H, Wpp, C] HBM
     bias_ref,   # [window, wwin, C] VMEM fp32
-    o_ref,      # [1, bs, W, C] VMEM
-    k_scr,      # [window, Wpp, C] VMEM scratch
+    o_ref,      # [1, rb·bs, W, C] VMEM
+    k_scr,      # [rb·bs + 2·halo, Wpp, C] VMEM scratch
     v_scr,
-    kwin,       # [wb, window, wwin, C] VMEM scratch (aligned windows)
+    kwin,       # [rb·wb, window, wwin, C] VMEM scratch (aligned windows)
     vwin,
-    qall,       # [wb, bs², C] VMEM scratch (block-gathered queries)
+    qall,       # [rb·wb, bs², C] VMEM scratch (block-gathered queries)
     sems,       # DMA semaphores (2,)
     *,
     bs: int,
     halo: int,
     heads: int,
     wb: int,
-    hb: int,
+    rb: int,
+    n_programs: int,
 ):
     bi = pl.program_id(0)
     i = pl.program_id(1)
     window = bs + 2 * halo
     wwin = _round8(window)
     n = window * wwin
+    nb = rb * wb
     c = q_ref.shape[-1]
     hd = c // heads
     scale = jnp.asarray(hd, jnp.float32) ** -0.5
@@ -173,20 +190,30 @@ def _fwd_kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    _load_stripe(k_ref, k_scr, sems.at[0], bi, i, bs=bs, halo=halo, hb=hb)
-    _load_stripe(v_ref, v_scr, sems.at[1], bi, i, bs=bs, halo=halo, hb=hb)
+    _load_stripe(
+        k_ref, k_scr, sems.at[0], bi, i,
+        rows_per=rb * bs, halo=halo, n_programs=n_programs,
+    )
+    _load_stripe(
+        v_ref, v_scr, sems.at[1], bi, i,
+        rows_per=rb * bs, halo=halo, n_programs=n_programs,
+    )
 
     # stage aligned windows + block-gathered queries (all slices land on
     # 8-sublane boundaries: bs and wwin are multiples of 8)
-    for bx in range(wb):
-        kwin[bx] = k_scr[:, pl.ds(bx * bs, wwin), :]
-        vwin[bx] = v_scr[:, pl.ds(bx * bs, wwin), :]
-        qall[bx] = q_ref[0, :, pl.ds(bx * bs, bs), :].reshape(bs * bs, c)
+    for by in range(rb):
+        for bx in range(wb):
+            idx = by * wb + bx
+            kwin[idx] = k_scr[by * bs : by * bs + window, pl.ds(bx * bs, wwin), :]
+            vwin[idx] = v_scr[by * bs : by * bs + window, pl.ds(bx * bs, wwin), :]
+            qall[idx] = q_ref[
+                0, by * bs : (by + 1) * bs, pl.ds(bx * bs, bs), :,
+            ].reshape(bs * bs, c)
     # fold the rel-pos bias into the keys once per stripe
     kwin[...] = (kwin[...].astype(jnp.float32) + bias_ref[...][None]).astype(dtype)
 
-    kv = kwin[...].reshape(wb, n, c)
-    vv = vwin[...].reshape(wb, n, c)
+    kv = kwin[...].reshape(nb, n, c)
+    vv = vwin[...].reshape(nb, n, c)
     qv = qall[...]
     mask = _mask_add(window, wwin)
 
@@ -198,7 +225,7 @@ def _fwd_kernel(
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=prec,
-        ) * scale + mask  # [wb, bs², n]
+        ) * scale + mask  # [nb, bs², n]
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dtype)
@@ -208,11 +235,14 @@ def _fwd_kernel(
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
                 precision=prec,
-            ),  # [wb, bs², hd]
+            ),  # [nb, bs², hd]
         )
     o_all = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
-    for bx in range(wb):
-        o_ref[0, :, pl.ds(bx * bs, bs), :] = o_all[bx].reshape(bs, bs, c)
+    for by in range(rb):
+        for bx in range(wb):
+            o_ref[0, by * bs : (by + 1) * bs, pl.ds(bx * bs, bs), :] = (
+                o_all[by * wb + bx].reshape(bs, bs, c)
+            )
 
 
 def _pad_w(x: jnp.ndarray, halo: int) -> jnp.ndarray:
@@ -245,15 +275,18 @@ def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
         rel_h.astype(jnp.float32), rel_w.astype(jnp.float32), window, num_heads,
     )
 
+    rb = _rows_per_program(hb, bs)
+    n_programs = hb // rb
     kernel = partial(
-        _fwd_kernel, bs=bs, halo=halo, heads=num_heads, wb=wb, hb=hb,
+        _fwd_kernel, bs=bs, halo=halo, heads=num_heads, wb=wb, rb=rb,
+        n_programs=n_programs,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b, hb),
+        grid=(b, n_programs),
         in_specs=[
             pl.BlockSpec(
-                (1, bs, wdt, c), lambda bi, i: (bi, i, 0, 0),
+                (1, rb * bs, wdt, c), lambda bi, i: (bi, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -264,16 +297,16 @@ def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, bs, wdt, c), lambda bi, i: (bi, i, 0, 0),
+            (1, rb * bs, wdt, c), lambda bi, i: (bi, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((window, _padded_w(wdt, halo), c), q.dtype),
-            pltpu.VMEM((window, _padded_w(wdt, halo), c), q.dtype),
-            pltpu.VMEM((wb, window, wwin, c), q.dtype),
-            pltpu.VMEM((wb, window, wwin, c), q.dtype),
-            pltpu.VMEM((wb, bs * bs, c), q.dtype),
+            pltpu.VMEM((rb * bs + 2 * halo, _padded_w(wdt, halo), c), q.dtype),
+            pltpu.VMEM((rb * bs + 2 * halo, _padded_w(wdt, halo), c), q.dtype),
+            pltpu.VMEM((rb * wb, window, wwin, c), q.dtype),
+            pltpu.VMEM((rb * wb, window, wwin, c), q.dtype),
+            pltpu.VMEM((rb * wb, bs * bs, c), q.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -285,12 +318,12 @@ def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
 
 
 def _bwd_kernel(
-    q_ref,       # [1, bs, W, C] VMEM
+    q_ref,       # [1, rb·bs, W, C] VMEM
     k_ref,       # [1, H, Wpp, C] HBM
     v_ref,       # [1, H, Wpp, C] HBM
     bias_ref,    # [window, wwin, C] VMEM fp32
-    do_ref,      # [1, bs, W, C] VMEM
-    dq_ref,      # [1, bs, W, C] VMEM out
+    do_ref,      # [1, rb·bs, W, C] VMEM
+    dq_ref,      # [1, rb·bs, W, C] VMEM out
     dki_ref,     # [1, H, Wpp, C] VMEM out — per-batch image accumulator
     dvi_ref,     # [1, H, Wpp, C] VMEM out
     dbias_ref,   # [1, window·wwin, hd] VMEM out — per-batch fp32 accumulator
@@ -306,13 +339,15 @@ def _bwd_kernel(
     halo: int,
     heads: int,
     wb: int,
-    hb: int,
+    rb: int,
+    n_programs: int,
 ):
     bi = pl.program_id(0)
     i = pl.program_id(1)
     window = bs + 2 * halo
     wwin = _round8(window)
     n = window * wwin
+    nb = rb * wb
     c = q_ref.shape[-1]
     hd = c // heads
     scale = jnp.asarray(hd, jnp.float32) ** -0.5
@@ -325,8 +360,14 @@ def _bwd_kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    _load_stripe(k_ref, k_scr, sems.at[0], bi, i, bs=bs, halo=halo, hb=hb)
-    _load_stripe(v_ref, v_scr, sems.at[1], bi, i, bs=bs, halo=halo, hb=hb)
+    _load_stripe(
+        k_ref, k_scr, sems.at[0], bi, i,
+        rows_per=rb * bs, halo=halo, n_programs=n_programs,
+    )
+    _load_stripe(
+        v_ref, v_scr, sems.at[1], bi, i,
+        rows_per=rb * bs, halo=halo, n_programs=n_programs,
+    )
 
     # the dk/dv image blocks are revisited across the (sequential) stripe
     # iterations of one batch element; initialize on the first stripe
@@ -336,15 +377,21 @@ def _bwd_kernel(
         dvi_ref[...] = jnp.zeros_like(dvi_ref)
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    for bx in range(wb):
-        kwin[bx] = k_scr[:, pl.ds(bx * bs, wwin), :]
-        vwin[bx] = v_scr[:, pl.ds(bx * bs, wwin), :]
-        qall[bx] = q_ref[0, :, pl.ds(bx * bs, bs), :].reshape(bs * bs, c)
-        doall[bx] = do_ref[0, :, pl.ds(bx * bs, bs), :].reshape(bs * bs, c)
+    for by in range(rb):
+        for bx in range(wb):
+            idx = by * wb + bx
+            kwin[idx] = k_scr[by * bs : by * bs + window, pl.ds(bx * bs, wwin), :]
+            vwin[idx] = v_scr[by * bs : by * bs + window, pl.ds(bx * bs, wwin), :]
+            qall[idx] = q_ref[
+                0, by * bs : (by + 1) * bs, pl.ds(bx * bs, bs), :,
+            ].reshape(bs * bs, c)
+            doall[idx] = do_ref[
+                0, by * bs : (by + 1) * bs, pl.ds(bx * bs, bs), :,
+            ].reshape(bs * bs, c)
     kwin[...] = (kwin[...].astype(jnp.float32) + bias_ref[...][None]).astype(dtype)
 
-    kv = kwin[...].reshape(wb, n, c)
-    vv = vwin[...].reshape(wb, n, c)
+    kv = kwin[...].reshape(nb, n, c)
+    vv = vwin[...].reshape(nb, n, c)
     qv = qall[...]
     dov = doall[...]
     mask = _mask_add(window, wwin)
@@ -394,44 +441,57 @@ def _bwd_kernel(
     dq_all = jnp.concatenate(dq_parts, axis=-1).astype(dq_ref.dtype)
     dkwin = jnp.concatenate(dk_parts, axis=-1).astype(dki_ref.dtype)
     dvwin = jnp.concatenate(dv_parts, axis=-1).astype(dvi_ref.dtype)
-    dkwin = dkwin.reshape(wb, window, wwin, c)
-    dvwin = dvwin.reshape(wb, window, wwin, c)
+    dkwin = dkwin.reshape(nb, window, wwin, c)
+    dvwin = dvwin.reshape(nb, window, wwin, c)
 
-    for bx in range(wb):
-        dq_ref[0, :, pl.ds(bx * bs, bs), :] = dq_all[bx].reshape(bs, bs, c)
+    for by in range(rb):
+        for bx in range(wb):
+            dq_ref[0, by * bs : (by + 1) * bs, pl.ds(bx * bs, bs), :] = (
+                dq_all[by * wb + bx].reshape(bs, bs, c)
+            )
 
     # overlap-add the window grads straight into the VMEM image blocks:
-    # stripe row j maps to image row i·bs − halo + j; rows outside the
-    # frame are grads of the zero-filled halo — dropped. The alignment
-    # padding columns carry exactly-zero gradients (attn == dlogits == 0
-    # there), so accumulating full aligned windows over W is correct.
-    def accumulate(jlo: int, jhi: int, row0):
+    # window row j of block-row `by` maps to image row
+    # i·rb·bs + by·bs − halo + j; rows outside the frame are grads of the
+    # zero-filled halo — dropped. The alignment padding columns carry
+    # exactly-zero gradients (attn == dlogits == 0 there), so accumulating
+    # full aligned windows over W is correct.
+    def accumulate(by: int, jlo: int, jhi: int, row0):
         rows = jhi - jlo
         for bx in range(wb):
+            idx = by * wb + bx
             sl_w = pl.ds(bx * bs, wwin)
             sl_r = pl.ds(row0, rows)
             dki_ref[0, sl_r, sl_w, :] = (
-                dki_ref[0, sl_r, sl_w, :] + dkwin[bx, jlo:jhi]
+                dki_ref[0, sl_r, sl_w, :] + dkwin[idx, jlo:jhi]
             )
             dvi_ref[0, sl_r, sl_w, :] = (
-                dvi_ref[0, sl_r, sl_w, :] + dvwin[bx, jlo:jhi]
+                dvi_ref[0, sl_r, sl_w, :] + dvwin[idx, jlo:jhi]
             )
 
-    himg = k_ref.shape[1]
-    if hb == 1:
-        accumulate(halo, halo + min(himg, window - halo), 0)
+    def accumulate_all(first: bool, last: bool):
+        # image row of window row jlo for block-row by, relative to the
+        # stripe base i·rb·bs
+        for by in range(rb):
+            jlo = halo if (first and by == 0) else 0
+            jhi = window - halo if (last and by == rb - 1) else window
+            base = by * bs - halo + jlo
+            accumulate(by, jlo, jhi, i * (rb * bs) + base)
+
+    if n_programs == 1:
+        accumulate_all(True, True)
     else:
         @pl.when(i == 0)
         def _():
-            accumulate(halo, window, 0)
+            accumulate_all(True, False)
 
-        @pl.when(jnp.logical_and(i > 0, i < hb - 1))
+        @pl.when(jnp.logical_and(i > 0, i < n_programs - 1))
         def _():
-            accumulate(0, window, i * bs - halo)
+            accumulate_all(False, False)
 
-        @pl.when(i == hb - 1)
+        @pl.when(i == n_programs - 1)
         def _():
-            accumulate(0, window - halo, i * bs - halo)
+            accumulate_all(False, True)
 
     # bias gradients DO include the out-of-frame halo keys: the bias was
     # added to those zero keys and they participated in the softmax
@@ -455,21 +515,24 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
     )
     hd = c // num_heads
 
+    rb = _rows_per_program(hb, bs, cap=2)
+    n_programs = hb // rb
     kernel = partial(
-        _bwd_kernel, bs=bs, halo=halo, heads=num_heads, wb=wb, hb=hb,
+        _bwd_kernel, bs=bs, halo=halo, heads=num_heads, wb=wb, rb=rb,
+        n_programs=n_programs,
     )
     dq, dk_img, dv_img, dbias_b = pl.pallas_call(
         kernel,
-        grid=(b, hb),
+        grid=(b, n_programs),
         in_specs=[
-            pl.BlockSpec((1, bs, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb * bs, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((window, wwin, c), lambda bi, i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb * bs, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, bs, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb * bs, wdt, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
             # dk/dv: whole-image blocks revisited across stripes (i is
             # sequential), accumulated in VMEM, written back once per batch
             pl.BlockSpec((1, hgt, wp, c), lambda bi, i: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -485,12 +548,12 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
             jax.ShapeDtypeStruct((b, window * wwin, hd), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((window, wp, c), q.dtype),
-            pltpu.VMEM((window, wp, c), q.dtype),
-            pltpu.VMEM((wb, window, wwin, c), q.dtype),
-            pltpu.VMEM((wb, window, wwin, c), q.dtype),
-            pltpu.VMEM((wb, bs * bs, c), q.dtype),
-            pltpu.VMEM((wb, bs * bs, c), q.dtype),
+            pltpu.VMEM((rb * bs + 2 * halo, wp, c), q.dtype),
+            pltpu.VMEM((rb * bs + 2 * halo, wp, c), q.dtype),
+            pltpu.VMEM((rb * wb, window, wwin, c), q.dtype),
+            pltpu.VMEM((rb * wb, window, wwin, c), q.dtype),
+            pltpu.VMEM((rb * wb, bs * bs, c), q.dtype),
+            pltpu.VMEM((rb * wb, bs * bs, c), q.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -47,6 +47,11 @@ def _save_run_metadata(cfg_tree: dict, overrides: list[str]) -> None:
 
 
 def run_single(config_name: str, overrides: list[str]) -> None:
+    from pixel_heal_thyself_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     cfg_tree = compose(config_name, overrides)
     cfg = ConfigRegistry.create_config(cfg_tree)
     logger.setup_logger(cfg.logging.level)

@@ -41,8 +41,12 @@ def _xla(q, k, v, rel_h, rel_w, heads):
 
 
 @pytest.mark.slow
-def test_pallas_forward_matches_xla_interpret():
-    q, k, v, rel_h, rel_w = _data(B=2, P=16)
+@pytest.mark.parametrize("P", [16, 24, 32])
+def test_pallas_forward_matches_xla_interpret(P):
+    """P=16: two block-rows in one program (single-stripe edge case);
+    P=24: three programs of one block-row each (first/middle/last);
+    P=32: four block-rows in one program."""
+    q, k, v, rel_h, rel_w = _data(B=2, P=P)
     want = np.asarray(_xla(q, k, v, rel_h, rel_w, heads=2))
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(
@@ -55,8 +59,12 @@ def test_pallas_forward_matches_xla_interpret():
 
 
 @pytest.mark.slow
-def test_pallas_grads_match_xla_interpret():
-    q, k, v, rel_h, rel_w = _data(B=1, P=16)
+@pytest.mark.parametrize("P", [16, 24, 48])
+def test_pallas_grads_match_xla_interpret(P):
+    """P=16: rb=2 single-program; P=24: rb=1 three programs; P=48: rb=2
+    with three programs — the backward's first/middle/last overlap-add
+    paths at its production row-batch (the bwd caps rb at 2)."""
+    q, k, v, rel_h, rel_w = _data(B=1, P=P)
 
     def loss_x(args):
         o = _xla(*args, heads=2)
