@@ -1,9 +1,11 @@
 """Causal depthwise 1-D convolution.
 
 Replaces the reference's external `causal-conv1d` CUDA kernels (reference
-`README.md:14-16`, used inside Mamba2) with a left-padded depthwise
-`lax.conv_general_dilated` — XLA fuses it with the surrounding elementwise
-ops; a dedicated kernel is unnecessary on TPU.
+`README.md:14-16`, used inside Mamba2). The kernel is tiny (k=4), so the
+convolution is expressed as k shifted multiply-adds over the [b, l, c]
+activations — pure elementwise VPU work that XLA fuses into one pass, with
+none of the grouped-convolution lowering a `feature_group_count=c`
+`conv_general_dilated` would hit.
 """
 
 from __future__ import annotations
@@ -20,18 +22,17 @@ def causal_depthwise_conv1d(
     """x: [b, l, c]; weight: [k, c] (tap 0 = oldest); bias: [c] or None.
 
     Matches torch `Conv1d(c, c, k, groups=c, padding=k-1)[..., :l]` —
-    the causal-conv1d semantics used by Mamba2.
+    the causal-conv1d semantics used by Mamba2: output position i sees
+    inputs [i-k+1, i].
     """
     k, c = weight.shape
+    l = x.shape[1]
     xp = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
-    y = jax.lax.conv_general_dilated(
-        xp,
-        weight[:, None, :].astype(x.dtype),  # [k, 1, c] IO for depthwise
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NLC", "LIO", "NLC"),
-        feature_group_count=c,
-    )
+    w = weight.astype(x.dtype)
+    y = w[k - 1] * x
+    for t in range(k - 1):
+        # tap t multiplies the input shifted right by (k-1-t) positions
+        y = y + w[t] * jax.lax.slice_in_dim(xp, t, t + l, axis=1)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

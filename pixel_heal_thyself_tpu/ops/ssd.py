@@ -59,16 +59,35 @@ def ssd_naive(x, dt, A, B, C, D=None):
     return y
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def ssd_chunked(x, dt, A, B, C, D=None, chunk: int = 128):
+def _group_size(nc: int, target: int) -> int:
+    """Largest divisor of nc that is ≤ target."""
+    for cand in range(min(nc, target), 0, -1):
+        if nc % cand == 0:
+            return cand
+    return 1
+
+
+@partial(jax.jit, static_argnames=("chunk", "group"))
+def ssd_chunked(x, dt, A, B, C, D=None, chunk: int = 128, group: int = 8):
     """Chunked matmul-form SSD. Same signature/semantics as `ssd_naive`.
 
-    TPU layout: heads ride the batch dims ([b, h, q, ·] tensors keep the
-    chunk length q on the 128-lane axis) and the chunks are processed by a
-    `lax.scan` carrying the inter-chunk state — only one chunk's decay
-    mask/scores ever materialize (a naive batched formulation materialized
-    O(L·q) masks: ~2 GB at 16k tokens, measured 2.6 s → 0.2 s per step).
-    The scan body is rematerialized in the backward pass.
+    TPU structure (v3 — decoupled carry, group-shared scores): the
+    inter-chunk state recurrence is the only sequential dependency, and it
+    is tiny ([b,h,n,p] elementwise per chunk), so it runs as its own cheap
+    unrolled `lax.scan` over per-chunk state summaries computed in one
+    fully batched MXU pass. The heavy intra-chunk attention-like matmuls
+    then process `group` chunks per scan iteration with no carried state at
+    all — v1 ran them one chunk at a time inside the carry scan,
+    serializing ~L/chunk small matmul packets behind a scalar dependency
+    (measured 13 ms → see BASELINE.md). Grouping bounds the materialized
+    [g,b,h,q,q] decay masks (a fully batched formulation wanted ~2 GB at
+    16k tokens); group bodies rematerialize in the backward pass.
+
+    B/C are shared across the `h/g` heads of each group, so the C·Bᵀ
+    scores matmul runs once per group (not per head) and the B/C stacks
+    are never head-expanded — only the per-head decay-masked y matmuls
+    see the head axis. Contractions accumulate in fp32; chunk length q
+    rides the sublane axis with n/p on the 128-lane axis.
     """
     b, l, h, p = x.shape
     g, n = B.shape[2], B.shape[3]
@@ -85,62 +104,78 @@ def ssd_chunked(x, dt, A, B, C, D=None, chunk: int = 128):
     lp = l + pad
     nc = lp // q
 
-    # [nc, b, h, q, ·] — scan over chunks; heads in batch dims
-    Bh = jnp.repeat(B, rep, axis=2).reshape(b, nc, q, h, n)
-    Bh = Bh.transpose(1, 0, 3, 2, 4)                     # [nc,b,h,q,n]
-    Ch = jnp.repeat(C, rep, axis=2).reshape(b, nc, q, h, n)
-    Ch = Ch.transpose(1, 0, 3, 2, 4)
-    xc = x.reshape(b, nc, q, h, p).transpose(1, 0, 3, 2, 4)  # [nc,b,h,q,p]
-    dtc = dt.reshape(b, nc, q, h).transpose(1, 0, 3, 2)      # [nc,b,h,q]
+    # chunked stacks: B/C stay group-sized [nc,b,g,q,n]; x/dt are per-head
+    # [nc,b,g,rep,q,·] with the head axis split as (g, rep)
+    Bc = B.reshape(b, nc, q, g, n).transpose(1, 0, 3, 2, 4)
+    Cc = C.reshape(b, nc, q, g, n).transpose(1, 0, 3, 2, 4)
+    xc = x.reshape(b, nc, q, g, rep, p).transpose(1, 0, 3, 4, 2, 5)
+    dtc = dt.reshape(b, nc, q, g, rep).transpose(1, 0, 3, 4, 2)
 
+    # ---- batched per-chunk summaries (no sequential dependency) --------
+    dA = (dtc * A.reshape(g, rep)[None, None, :, :, None]).astype(jnp.float32)
+    cum = jnp.cumsum(dA, axis=-1)                  # [nc,b,g,rep,q] fp32
+    xdt = xc * dtc[..., None].astype(in_dtype)
+    decay_to_end = jnp.exp(cum[..., -1:] - cum).astype(in_dtype)
+    S = jnp.einsum(
+        "cbgjn,cbgrjp->cbgrnp",
+        Bc,
+        xdt * decay_to_end[..., None],
+        preferred_element_type=jnp.float32,
+    ).astype(in_dtype)                             # [nc,b,g,rep,n,p]
+    a = jnp.exp(cum[..., -1]).astype(in_dtype)     # [nc,b,g,rep]
+
+    # ---- inter-chunk carry: cheap elementwise scan ---------------------
+    def carry_body(state, inputs):
+        a_c, S_c = inputs
+        return a_c[..., None, None] * state + S_c, state
+
+    state0 = jnp.zeros((b, g, rep, n, p), in_dtype)
+    _, st_in = jax.lax.scan(
+        carry_body, state0, (a, S), unroll=8,
+    )                                              # [nc,b,g,rep,n,p]
+
+    # ---- intra-chunk + state readout, `gs` chunks per iteration --------
+    gs = _group_size(nc, group)
     causal = jnp.tril(jnp.ones((q, q), bool))
 
     @jax.checkpoint
-    def chunk_body(state, inputs):
-        B_c, C_c, x_c, dt_c = inputs  # [b,h,q,n], [b,h,q,n], [b,h,q,p], [b,h,q]
-        dA = (dt_c * A[None, :, None]).astype(jnp.float32)
-        cum = jnp.cumsum(dA, axis=-1)                     # [b,h,q]
-        xdt = x_c * dt_c[..., None].astype(in_dtype)
-
-        # intra-chunk
-        diff = cum[..., :, None] - cum[..., None, :]      # [b,h,qi,qj]
+    def group_body(_, inputs):
+        B_g, C_g, x_g, cum_g, st_g = inputs
+        # B_g/C_g [gs,b,g,q,n]; x_g/cum_g [gs,b,g,rep,q,·]; st [gs,b,g,rep,n,p]
+        diff = cum_g[..., :, None] - cum_g[..., None, :]  # [gs,b,g,rep,qi,qj]
         lmask = jnp.exp(
-            jnp.where(causal[None, None], diff, -jnp.inf),
+            jnp.where(causal[None, None, None, None], diff, -jnp.inf),
         ).astype(in_dtype)
         scores = jnp.einsum(
-            "bhin,bhjn->bhij", C_c, B_c, preferred_element_type=jnp.float32,
-        ).astype(in_dtype)
+            "sbgin,sbgjn->sbgij", C_g, B_g, preferred_element_type=jnp.float32,
+        ).astype(in_dtype)                         # once per group, not head
         y = jnp.einsum(
-            "bhij,bhjp->bhip",
-            scores * lmask,
-            xdt,
+            "sbgrij,sbgrjp->sbgrip",
+            scores[:, :, :, None] * lmask,
+            x_g,
             preferred_element_type=jnp.float32,
         ).astype(in_dtype)
-
-        # inter-chunk: contribution of the carried state
-        in_decay = jnp.exp(cum).astype(in_dtype)          # [b,h,q]
-        y = y + jnp.einsum(
-            "bhin,bhnp->bhip",
-            C_c * in_decay[..., None],
-            state,
+        in_decay = jnp.exp(cum_g).astype(in_dtype)  # [gs,b,g,rep,q]
+        y = y + in_decay[..., None] * jnp.einsum(
+            "sbgin,sbgrnp->sbgrip",
+            C_g,
+            st_g,
             preferred_element_type=jnp.float32,
         ).astype(in_dtype)
+        return None, y
 
-        # updated state
-        decay_to_end = jnp.exp(cum[..., -1:] - cum).astype(in_dtype)
-        S_c = jnp.einsum(
-            "bhjn,bhjp->bhnp",
-            B_c * decay_to_end[..., None],
-            xdt,
-            preferred_element_type=jnp.float32,
-        ).astype(in_dtype)
-        chunk_decay = jnp.exp(cum[..., -1]).astype(in_dtype)  # [b,h]
-        state = chunk_decay[..., None, None] * state + S_c
-        return state, y
+    def grp(t):
+        return t.reshape(nc // gs, gs, *t.shape[1:])
 
-    state0 = jnp.zeros((b, h, n, p), in_dtype)
-    _, ys = jax.lax.scan(chunk_body, state0, (Bh, Ch, xc, dtc))
-    y = ys.transpose(1, 0, 3, 2, 4).reshape(b, lp, h, p)[:, :l]
+    _, ys = jax.lax.scan(
+        group_body, None, (grp(Bc), grp(Cc), grp(xdt), grp(cum), grp(st_in)),
+    )                                              # [nc/gs,gs,b,g,rep,q,p]
+    y = (
+        ys.reshape(nc, b, g, rep, q, p)
+        .transpose(1, 0, 4, 2, 3, 5)               # [b,nc,q,g,rep,p]
+        .reshape(b, lp, h, p)
+    )
+    y = y[:, :l]
     if D is not None:
         y = y + x[:, :l] * D[None, None, :, None].astype(in_dtype)
     return y
