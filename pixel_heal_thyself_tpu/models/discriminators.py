@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pixel_heal_thyself_tpu.models.layers import ConvBlock, apply_act
+from pixel_heal_thyself_tpu.models.layers import ConvBlock, apply_act, bias_add
 from pixel_heal_thyself_tpu.utils.init import (
     torch_default_bias_init,
     torch_default_kernel_init,
@@ -160,7 +160,7 @@ class SNConv(nn.Module):
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return y + bias.astype(self.dtype)
+        return bias_add(y, bias.astype(self.dtype))
 
 
 class PatchDiscriminator(nn.Module):

