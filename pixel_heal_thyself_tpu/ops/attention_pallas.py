@@ -145,7 +145,8 @@ def _rows_per_program(hb: int, bs: int, cap: int = 4) -> int:
     windows and fp32 softmax temporaries fit VMEM; must divide hb. The
     backward caps at 2: its per-batch dk/dv image accumulators plus the
     fp32 dattn/dlogits chain blow the 128M VMEM budget at 4 (measured
-    136.8M on v5e)."""
+    136.8M on v5e). rb=8 in the forward fits VMEM but measured net-slower
+    (73.2 -> 72.8 patches/sec), so 4 is the ceiling."""
     for rb in (4, 2):
         if rb <= cap and hb % rb == 0:
             return rb
@@ -264,7 +265,9 @@ def _padded_w(w: int, halo: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("block_size", "halo_size", "num_heads"))
-def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
+def _attention_fwd(q, kp, vp, rel_h, rel_w, *, block_size, halo_size, num_heads):
+    """Forward kernel dispatch. kp/vp are already W-halo-padded (`_pad_w`)
+    so the custom VJP can reuse one padding for both passes."""
     b, hgt, wdt, c = q.shape
     bs, halo = block_size, halo_size
     assert bs % 8 == 0, "Pallas path requires 8-aligned blocks (bs % 8 == 0)"
@@ -274,13 +277,11 @@ def _attention_fwd(q, k, v, rel_h, rel_w, *, block_size, halo_size, num_heads):
     out_dtype = q.dtype
     # operands stay in the model dtype (bf16 matmul inputs hit the MXU fast
     # path); logits/softmax accumulate in f32
-    kp = _pad_w(k, halo)
-    vp = _pad_w(v, halo)
     bias = _rel_bias_full(
         rel_h.astype(jnp.float32), rel_w.astype(jnp.float32), window, num_heads,
     )
 
-    rb = _rows_per_program(hb, bs)
+    rb = _rows_per_program(hb, bs, cap=4)
     n_programs = hb // rb
     kernel = partial(
         _fwd_kernel, bs=bs, halo=halo, heads=num_heads, wb=wb, rb=rb,
@@ -504,7 +505,9 @@ def _bwd_kernel(
 
 
 @partial(jax.jit, static_argnames=("block_size", "halo_size", "num_heads"))
-def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num_heads):
+def _attention_bwd_impl(q, kp, vp, rel_h, rel_w, do, *, block_size, halo_size, num_heads):
+    """Backward kernel dispatch. kp/vp are the W-halo-padded tensors saved
+    by the forward (one padding shared by both passes)."""
     b, hgt, wdt, c = q.shape
     bs, halo = block_size, halo_size
     assert bs % 8 == 0, "Pallas path requires 8-aligned blocks (bs % 8 == 0)"
@@ -512,8 +515,6 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
     window = bs + 2 * halo
     wwin = _round8(window)
     wp = _padded_w(wdt, halo)
-    kp = _pad_w(k, halo)
-    vp = _pad_w(v, halo)
     dof = do.astype(q.dtype)
     bias = _rel_bias_full(
         rel_h.astype(jnp.float32), rel_w.astype(jnp.float32), window, num_heads,
@@ -548,8 +549,8 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
             jax.ShapeDtypeStruct((b, bs * hb, wdt, c), q.dtype),
             # image grads in the model dtype (same precision as the v2
             # window-tensor fold, at ~1/14th the HBM traffic)
-            jax.ShapeDtypeStruct((b, hgt, wp, c), k.dtype),
-            jax.ShapeDtypeStruct((b, hgt, wp, c), k.dtype),
+            jax.ShapeDtypeStruct((b, hgt, wp, c), kp.dtype),
+            jax.ShapeDtypeStruct((b, hgt, wp, c), kp.dtype),
             jax.ShapeDtypeStruct((b, window * wwin, hd), jnp.float32),
         ),
         scratch_shapes=[
@@ -567,8 +568,8 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
         ),
     )(q, kp, vp, bias, dof)
 
-    dk = dk_img[:, :, halo : halo + wdt].astype(k.dtype)
-    dv = dv_img[:, :, halo : halo + wdt].astype(v.dtype)
+    dk = dk_img[:, :, halo : halo + wdt].astype(kp.dtype)
+    dv = dv_img[:, :, halo : halo + wdt].astype(vp.dtype)
 
     dbias = jnp.sum(dbias_b, axis=0)  # [window·wwin, hd]
     half = hd // 2
@@ -581,23 +582,27 @@ def _attention_bwd_impl(q, k, v, rel_h, rel_w, do, *, block_size, halo_size, num
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _attention_core(q, k, v, rel_h, rel_w, block_size, halo_size, num_heads):
     return _attention_fwd(
-        q, k, v, rel_h, rel_w,
+        q, _pad_w(k, halo_size), _pad_w(v, halo_size), rel_h, rel_w,
         block_size=block_size, halo_size=halo_size, num_heads=num_heads,
     )
 
 
 def _core_fwd(q, k, v, rel_h, rel_w, block_size, halo_size, num_heads):
+    # pad once; the padded tensors are the residuals, so the backward
+    # kernel reads them directly instead of re-padding k/v
+    kp = _pad_w(k, halo_size)
+    vp = _pad_w(v, halo_size)
     out = _attention_fwd(
-        q, k, v, rel_h, rel_w,
+        q, kp, vp, rel_h, rel_w,
         block_size=block_size, halo_size=halo_size, num_heads=num_heads,
     )
-    return out, (q, k, v, rel_h, rel_w)
+    return out, (q, kp, vp, rel_h, rel_w)
 
 
 def _core_bwd(block_size, halo_size, num_heads, res, do):
-    q, k, v, rel_h, rel_w = res
+    q, kp, vp, rel_h, rel_w = res
     return _attention_bwd_impl(
-        q, k, v, rel_h, rel_w, do,
+        q, kp, vp, rel_h, rel_w, do,
         block_size=block_size, halo_size=halo_size, num_heads=num_heads,
     )
 
