@@ -4,10 +4,59 @@ import jax.numpy as jnp
 import numpy as np
 
 from pixel_heal_thyself_tpu.models.lpips import (
+    _TAP_CHANNELS,
+    _VGG16_CONVS,
+    load_lpips_params,
     lpips_distance,
     random_lpips_params,
     to_lpips_range,
 )
+
+
+def write_converter_format_npz(path, rng) -> None:
+    """Synthesize an npz with exactly the keys/shapes/layouts that
+    tools/convert_lpips_weights.py emits (torchvision OIHW state-dict
+    entries + lpips lin heads [1, C, 1, 1])."""
+    out = {}
+    in_ch = 3
+    for conv_idx, out_ch in _VGG16_CONVS:
+        out[f"features.{conv_idx}.weight"] = rng.standard_normal(
+            (out_ch, in_ch, 3, 3),
+        ).astype(np.float32)
+        out[f"features.{conv_idx}.bias"] = rng.standard_normal(out_ch).astype(
+            np.float32,
+        )
+        in_ch = out_ch
+    for k, c in enumerate(_TAP_CHANNELS):
+        out[f"lin{k}.weight"] = rng.uniform(0, 1, (1, c, 1, 1)).astype(np.float32)
+    np.savez(path, **out)
+
+
+class TestConvertedWeightChannel:
+    def test_converter_npz_loads_and_runs(self, tmp_path):
+        """The offline-weight channel is plug-and-play: an npz in the
+        converter's exact format loads into the same pytree structure as
+        random_lpips_params and computes a finite distance — so dropping
+        in a real torchvision/lpips conversion needs no code change."""
+        rng = np.random.default_rng(0)
+        path = tmp_path / "lpips_vgg.npz"
+        write_converter_format_npz(path, rng)
+
+        params = load_lpips_params(path)
+        ref = random_lpips_params(0)
+        assert len(params["convs"]) == len(ref["convs"])
+        for (w, b), (wr, br) in zip(params["convs"], ref["convs"]):
+            assert w.shape == wr.shape and b.shape == br.shape
+        for lw, lr in zip(params["lins"], ref["lins"]):
+            assert lw.shape == lr.shape
+
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+        d = np.asarray(lpips_distance(params, x, y))
+        assert np.isfinite(d).all() and (d > 0).all()
+        np.testing.assert_allclose(
+            np.asarray(lpips_distance(params, x, x)), 0.0, atol=1e-6,
+        )
 
 
 class TestLpips:
