@@ -8,13 +8,19 @@ with scalar-per-head decay:
     state_t = exp(dt_t·A_h)·state_{t-1} + dt_t·(B_t ⊗ x_t)
     y_t     = C_t · state_t + D_h·x_t
 
-Two implementations:
+Three implementations:
 - `ssd_naive`: a `lax.scan` over time — the correctness oracle.
 - `ssd_chunked`: the matmul-form chunked algorithm (Dao & Gu 2024,
   "Transformers are SSMs", arXiv:2405.21060): intra-chunk attention-like
   matmuls with a causal decay mask, inter-chunk state carry via a short
   scan over chunk summaries. Everything lands on the MXU; contractions
-  accumulate in fp32.
+  accumulate in fp32. The production path (fwd + autodiff bwd).
+- `ssd_pallas`: a fused Pallas TPU forward (SURVEY §7 stage 7b) keeping
+  masks/scores/state in VMEM. Measured at exact parity with
+  `ssd_chunked`'s forward (5.00 vs 5.01 ms @ 4×16k tokens on v5e): both
+  are bound by the XLA-side chunk-stack arrangement and HBM streaming,
+  not the scan math — kept golden-tested as the measured evidence that
+  the chunked XLA form is co-optimal.
 """
 
 from __future__ import annotations
@@ -23,6 +29,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def ssd_naive(x, dt, A, B, C, D=None):
@@ -178,4 +186,145 @@ def ssd_chunked(x, dt, A, B, C, D=None, chunk: int = 128, group: int = 8):
     y = y[:, :l]
     if D is not None:
         y = y + x[:, :l] * D[None, None, :, None].astype(in_dtype)
+    return y
+
+
+def _ssd_fwd_kernel(
+    cum_ref,    # [1, gs, h, q] VMEM fp32 — cumulative dt·A within chunk
+    B_ref,      # [1, gs, q, n] VMEM
+    C_ref,      # [1, gs, q, n] VMEM
+    xdt_ref,    # [1, gs, h, q, p] VMEM — x·dt
+    y_ref,      # [1, gs, h, q, p] VMEM out
+    state,      # [h, n, p] VMEM scratch — inter-chunk carry
+    *,
+    gs: int,
+    n_groups: int,
+):
+    i = pl.program_id(1)
+    h = cum_ref.shape[2]
+    q = cum_ref.shape[3]
+    dtype = xdt_ref.dtype
+
+    @pl.when(i == 0)
+    def _():
+        state[...] = jnp.zeros_like(state)
+
+    causal = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, q, q), 1)
+        >= jax.lax.broadcasted_iota(jnp.int32, (1, q, q), 2)
+    )
+
+    for cc in range(gs):
+        cum = cum_ref[0, cc]                     # [h, q] fp32
+        Bv = B_ref[0, cc]                        # [q, n]
+        Cv = C_ref[0, cc]
+        xv = xdt_ref[0, cc]                      # [h, q, p]
+
+        diff = cum[:, :, None] - cum[:, None, :]  # [h, qi, qj]
+        lmask = jnp.exp(jnp.where(causal, diff, -jnp.inf)).astype(dtype)
+        scores = jax.lax.dot_general(
+            Cv, Bv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)                          # [qi, qj], shared across heads
+        y = jax.lax.dot_general(
+            scores[None] * lmask, xv, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                        # [h, q, p] fp32
+
+        # carried-state contribution + state update (B/C broadcast to the
+        # head axis so every contraction is one h-batched MXU op). Decay
+        # factors stay fp32 until after the minor-dim insertion — Mosaic
+        # only supports non-trivial minor-dim inserts on 32-bit types.
+        st = state[...]
+        Ch = jnp.broadcast_to(Cv[None], (h, q, Bv.shape[-1])).astype(dtype)
+        in_decay = jnp.exp(cum)                  # [h, q] fp32
+        y = y + in_decay[:, :, None] * jax.lax.dot_general(
+            Ch, st, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        y_ref[0, cc] = y.astype(dtype)
+
+        cum_last = jax.lax.slice_in_dim(cum, q - 1, q, axis=1)   # [h, 1]
+        decay_to_end = jnp.exp(cum_last - cum)                   # [h, q] fp32
+        Bh = jnp.broadcast_to(Bv[None], (h, q, Bv.shape[-1])).astype(dtype)
+        S = jax.lax.dot_general(
+            Bh,
+            (xv * decay_to_end[:, :, None].astype(dtype)),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                        # [h, n, p] fp32
+        chunk_decay = jnp.exp(cum_last)                          # [h, 1] fp32
+        state[...] = (chunk_decay[:, :, None] * st + S).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("chunk", "group"))
+def ssd_pallas(x, dt, A, B, C, D=None, chunk: int = 128, group: int = 8):
+    """Fused Pallas forward for the chunked SSD (SURVEY §7 stage 7b).
+
+    Same signature/semantics as `ssd_chunked`; golden-tested against
+    `ssd_naive`. One grid program owns `group` chunks of one batch element
+    and carries the inter-chunk state in VMEM across the sequential chunk
+    dimension — the decay masks, scores, and state summaries never touch
+    HBM (the XLA chunk-scan round-trips ~50 MB of them per group
+    iteration). Forward-only: training uses `ssd_chunked`, whose backward
+    is XLA autodiff; this kernel serves the no-grad paths (full-frame
+    inference, evaluation).
+
+    Requires ngroups == 1 and chunk-divisible sequence lengths ≥ chunk;
+    anything else falls back to `ssd_chunked`.
+    """
+    b, l, h, p = x.shape
+    g, n = B.shape[2], B.shape[3]
+    in_dtype = x.dtype
+    q = chunk
+    if g != 1 or l % q or l == 0:
+        return ssd_chunked(x, dt, A, B, C, D, chunk=chunk, group=group)
+    nc = l // q
+    gs = _group_size(nc, group)
+
+    # chunked stacks (all fed to the kernel per (batch, chunk-group) block)
+    dA = (dt * A[None, None, :]).astype(jnp.float32).reshape(b, nc, q, h)
+    cum = jnp.cumsum(dA, axis=2).transpose(0, 1, 3, 2)     # [b,nc,h,q]
+    xdt = (x * dt[..., None].astype(in_dtype)).reshape(b, nc, q, h, p)
+    xdt = xdt.transpose(0, 1, 3, 2, 4)                     # [b,nc,h,q,p]
+    Bc = B.reshape(b, nc, q, n)
+    Cc = C.reshape(b, nc, q, n)
+
+    kernel = partial(_ssd_fwd_kernel, gs=gs, n_groups=nc // gs)
+    y = pl.pallas_call(
+        kernel,
+        grid=(b, nc // gs),
+        in_specs=[
+            pl.BlockSpec(
+                (1, gs, h, q), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, gs, q, n), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, gs, q, n), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, gs, h, q, p), lambda bi, i: (bi, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, gs, h, q, p), lambda bi, i: (bi, i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nc, h, q, p), in_dtype),
+        scratch_shapes=[pltpu.VMEM((h, n, p), in_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(cum, Bc, Cc, xdt)
+
+    y = y.transpose(0, 1, 3, 2, 4).reshape(b, l, h, p)
+    if D is not None:
+        y = y + x * D[None, None, :, None].astype(in_dtype)
     return y

@@ -14,7 +14,7 @@ from pixel_heal_thyself_tpu.models.mamba import (
     positional_encoding_2d,
 )
 from pixel_heal_thyself_tpu.ops.conv import causal_depthwise_conv1d
-from pixel_heal_thyself_tpu.ops.ssd import ssd_chunked, ssd_naive
+from pixel_heal_thyself_tpu.ops.ssd import ssd_chunked, ssd_naive, ssd_pallas
 
 
 def _ssd_inputs(b=2, l=100, h=4, p=8, g=1, n=16, seed=0):
@@ -40,6 +40,33 @@ class TestSSD:
         x, dt, A, B, C, D = _ssd_inputs(h=4, g=2, n=8)
         want = np.asarray(ssd_naive(x, dt, A, B, C, D))
         got = np.asarray(ssd_chunked(x, dt, A, B, C, D, chunk=32))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("l,chunk", [(64, 16), (96, 32)])
+    def test_pallas_matches_naive_interpret(self, l, chunk):
+        """The fused Pallas forward (interpret mode) vs the scan oracle:
+        l=64/chunk=16 → two programs of two chunks (carry crosses the
+        program boundary); l=96/chunk=32 → gs=3 chunks in one program."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        x, dt, A, B, C, D = _ssd_inputs(b=2, l=l)
+        want = np.asarray(ssd_naive(x, dt, A, B, C, D))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                ssd_pallas(x, dt, A, B, C, D, chunk=chunk, group=2),
+            )
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+    def test_pallas_fallback_paths(self):
+        """Non-chunk-divisible lengths and g>1 fall back to ssd_chunked."""
+        x, dt, A, B, C, D = _ssd_inputs(l=100)
+        want = np.asarray(ssd_naive(x, dt, A, B, C, D))
+        got = np.asarray(ssd_pallas(x, dt, A, B, C, D, chunk=32))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+        x, dt, A, B, C, D = _ssd_inputs(h=4, g=2, n=8, l=64)
+        want = np.asarray(ssd_naive(x, dt, A, B, C, D))
+        got = np.asarray(ssd_pallas(x, dt, A, B, C, D, chunk=32))
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
     def test_causality(self):

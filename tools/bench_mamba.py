@@ -125,6 +125,15 @@ def main(argv=None) -> None:
 
     chain_time("SSD core fwd+bwd", jax.jit(ssd_fwd_bwd), xs)
 
+    from pixel_heal_thyself_tpu.ops.ssd import ssd_pallas
+
+    for name, fn in (("SSD chunked fwd", ssd_chunked), ("SSD pallas fwd", ssd_pallas)):
+        def ssd_fwd(x, fn=fn):
+            y = fn(x, dts, A, Bs, Cs)
+            return x + 1e-30 * jnp.mean(y.astype(jnp.float32)).astype(x.dtype)
+
+        chain_time(name, jax.jit(ssd_fwd), xs)
+
 
 if __name__ == "__main__":
     main()
