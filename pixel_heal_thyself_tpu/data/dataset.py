@@ -52,6 +52,14 @@ class PatchDataset:
             f = self._files[tid] = h5py.File(self.dataset_path, "r")
         return f
 
+    def close_thread_handle(self) -> None:
+        """Release the calling thread's h5 handle (reader threads are
+        recreated every epoch; thread idents are not reused reliably, so
+        keyed handles would otherwise accumulate over a long run)."""
+        f = self._files.pop(threading.get_ident(), None)
+        if f is not None:
+            f.close()
+
     def batch(self, indices: np.ndarray) -> dict[str, np.ndarray]:
         """Gather a batch; h5py wants sorted unique indices for fancy reads."""
         order = np.argsort(indices, kind="stable")
@@ -147,6 +155,8 @@ class PrefetchLoader:
                 queues[w].put(None)
             except Exception as e:  # surface worker errors to the consumer
                 queues[w].put(e)
+            finally:
+                self.dataset.close_thread_handle()
 
         threads = [
             threading.Thread(target=producer, args=(w,), daemon=True)

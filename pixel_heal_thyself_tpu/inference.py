@@ -143,6 +143,18 @@ def denoise_frame_spatial(
     # same horizontal border context both ways.
     step = 8 * n
     ph = (-h) % step
+    strip = (h + ph) // n
+    if strip < margin:
+        # exchange_halo ships `margin` rows per neighbor; a shorter strip
+        # would clip the exchange and silently lose vertical context (and
+        # break the shard_map output spec) — small frames don't benefit
+        # from row sharding anyway
+        raise ValueError(
+            f"spatial inference needs per-device row strips >= margin: "
+            f"frame height {h} over {n} devices gives {strip}-row strips "
+            f"< margin {margin}; lower inference.margin, use fewer "
+            "devices, or drop inference.spatial for this frame size",
+        )
     pw = (-w) % 8
     pad = ((0, ph), (margin, margin + pw), (0, 0))
     noisy_p = np.pad(noisy_log, pad, mode="edge")[None]

@@ -146,7 +146,11 @@ def _rows_per_program(hb: int, bs: int, cap: int = 4) -> int:
     backward caps at 2: its per-batch dk/dv image accumulators plus the
     fp32 dattn/dlogits chain blow the 128M VMEM budget at 4 (measured
     136.8M on v5e). rb=8 in the forward fits VMEM but measured net-slower
-    (73.2 -> 72.8 patches/sec), so 4 is the ceiling."""
+    (73.2 -> 72.8 patches/sec), so 4 is the ceiling. The VMEM-fit ceilings
+    were measured at bs=8; staged scratch scales roughly with rb·bs, so
+    larger configured block sizes shrink the cap proportionally instead of
+    failing at Mosaic compile time."""
+    cap = max(1, (cap * 8) // bs)
     for rb in (4, 2):
         if rb <= cap and hb % rb == 0:
             return rb

@@ -128,6 +128,15 @@ class BaseTrainer:
                 f"trainer.batch_size={self.cfg.trainer.batch_size} must be "
                 f"divisible by the data-parallel degree {mesh.shape['data']}",
             )
+        if jax.process_count() > 1 and mesh.size != n:
+            # a partial mesh would leave some hosts without addressable
+            # shards while host_batch_bounds still hands them batch rows
+            raise ValueError(
+                f"multi-host run: mesh {mesh.shape['data']}x"
+                f"{mesh.shape['model']} covers {mesh.size} of {n} global "
+                "devices; raise trainer.batch_size or set "
+                "parallel.data_axis/model_axis so data*model == device count",
+            )
         if mesh.size > 1:
             logger.info(
                 f"Mesh: {mesh.shape['data']} data x {mesh.shape['model']} "
@@ -249,7 +258,14 @@ class BaseTrainer:
         d_model = self.create_discriminator()
 
         batch_size = cfg.trainer.batch_size
-        total_iterations = math.ceil(n_train / batch_size)
+        # mirror the loader: DP drops the ragged final batch (drop_last),
+        # so the LR schedule's steps_per_epoch must floor, not ceil —
+        # otherwise milestone boundaries drift one step later per epoch
+        # and the end-of-epoch logging branch never fires
+        if self.mesh.shape["data"] > 1:
+            total_iterations = n_train // batch_size
+        else:
+            total_iterations = math.ceil(n_train / batch_size)
         milestones = multistep_milestone_epochs(
             cfg.trainer.epochs, cfg.trainer.lr_milestone,
         )
@@ -407,12 +423,17 @@ class BaseTrainer:
         root_save_path: str,
         save_img_interval: int,
     ) -> None:
-        current_save_path = create_folder(
-            os.path.join(root_save_path, f"model_epoch{epoch + 1}"),
-        )
-        checkpoints.save_checkpoint(
-            Path(current_save_path) / "state", gstate, dstate, epoch,
-        )
+        # multi-host: every process runs the (replicated) eval forwards so
+        # collectives stay in step, but only process 0 touches the shared
+        # run directory — concurrent writers would corrupt the checkpoint
+        # and interleave evaluation.txt
+        if self.is_main:
+            current_save_path = create_folder(
+                os.path.join(root_save_path, f"model_epoch{epoch + 1}"),
+            )
+            checkpoints.save_checkpoint(
+                Path(current_save_path) / "state", gstate, dstate, epoch,
+            )
 
         avg_psnr = avg_ssim = avg_mrse = 0.0
         start = time.time()
@@ -424,7 +445,7 @@ class BaseTrainer:
             output_255 = tensor2img(np.asarray(output), post_spec=True)
             gt_255 = tensor2img(gt_lin)
 
-            if i_batch % save_img_interval == 0:
+            if self.is_main and i_batch % save_img_interval == 0:
                 save_img_group(
                     current_save_path, i_batch, noisy_255, output_255, gt_255,
                 )
@@ -442,11 +463,12 @@ class BaseTrainer:
             f"avg_psnr={avg_psnr:.4f} avg_1-ssim={1 - avg_ssim:.4f} "
             f"time={int(end - start)}s",
         )
-        with open(os.path.join(root_save_path, "evaluation.txt"), "a") as f:
-            f.write(
-                f"Validation: {epoch + 1} \tAvg MRSE: {avg_mrse:.4f} "
-                f"\tAvg PSNR: {avg_psnr:.4f} \tAvg 1-SSIM: {1 - avg_ssim:.4f}\n",
-            )
+        if self.is_main:
+            with open(os.path.join(root_save_path, "evaluation.txt"), "a") as f:
+                f.write(
+                    f"Validation: {epoch + 1} \tAvg MRSE: {avg_mrse:.4f} "
+                    f"\tAvg PSNR: {avg_psnr:.4f} \tAvg 1-SSIM: {1 - avg_ssim:.4f}\n",
+                )
 
 
 class AFGSATrainer(BaseTrainer):

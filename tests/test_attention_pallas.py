@@ -45,8 +45,8 @@ def _xla(q, k, v, rel_h, rel_w, heads):
 def test_pallas_forward_matches_xla_interpret(P):
     """P=16: two block-rows in one program (single-stripe edge case);
     P=24: three programs of one block-row each (first/middle/last);
-    P=32: four block-rows in one program; P=64: rb=8, the forward's
-    production row-batch."""
+    P=32: four block-rows in one program; P=64: rb=4 with two programs —
+    the forward's production row-batch crossing a stripe boundary."""
     q, k, v, rel_h, rel_w = _data(B=1 if P == 64 else 2, P=P)
     want = np.asarray(_xla(q, k, v, rel_h, rel_w, heads=2))
     with pltpu.force_tpu_interpret_mode():
