@@ -299,10 +299,10 @@ class _Resolver:
 
 
 def _to_str(v: Any) -> str:
+    # floats render as-is ("1.0" not "1") — run-dir names like
+    # afgsa_p128_n400_r1.0 depend on it (reference parity)
     if isinstance(v, bool):
         return str(v).lower()
-    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
-        return str(v)
     return str(v)
 
 

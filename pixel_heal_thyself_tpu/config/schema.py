@@ -229,16 +229,30 @@ class Config:
         model_cfg = _build_dataclass(model_cls, merged_model)
 
         kwargs: dict[str, Any] = {"model": model_cfg}
-        for key, sub_cls in (
-            ("paths", PathConfig),
-            ("data", DataConfig),
-            ("trainer", TrainerConfig),
-            ("parallel", ParallelConfig),
-            ("logging", LoggingConfig),
-        ):
+        section_classes = {
+            "paths": PathConfig,
+            "data": DataConfig,
+            "trainer": TrainerConfig,
+            "parallel": ParallelConfig,
+            "logging": LoggingConfig,
+        }
+        scalar_keys = ("seed", "data_ratio", "run_num")
+        # reject unknown top-level keys loudly — nested typos already error
+        # in _build_dataclass, and a silently-dropped section ("trainerr:")
+        # would run the job on defaults
+        known = set(section_classes) | set(scalar_keys) | {"model"}
+        # "_"-prefixed keys are composer-internal (e.g. _base_pattern for
+        # the run-dirs resolver) and never bind to dataclass fields
+        unknown = [k for k in cfg if k not in known and not k.startswith("_")]
+        if unknown:
+            raise ValueError(
+                f"unknown top-level config key(s) {unknown}; expected one "
+                f"of {sorted(known)}",
+            )
+        for key, sub_cls in section_classes.items():
             if key in cfg:
                 kwargs[key] = _build_dataclass(sub_cls, cfg[key])
-        for key in ("seed", "data_ratio", "run_num"):
+        for key in scalar_keys:
             if key in cfg:
                 kwargs[key] = cfg[key]
         return cls(**kwargs)

@@ -155,6 +155,10 @@ def read_exr_channels(path: str | Path) -> dict[str, np.ndarray]:
         raise ValueError(f"not an EXR file: {path}")
     if version & 0x200:
         raise NotImplementedError("tiled EXRs are not supported")
+    if version & 0x800:
+        raise NotImplementedError("deep-data EXRs are not supported")
+    if version & 0x1000:
+        raise NotImplementedError("multi-part EXRs are not supported")
     pos = 8
 
     channels: list[tuple[str, int]] = []
@@ -198,10 +202,12 @@ def read_exr_channels(path: str | Path) -> dict[str, np.ndarray]:
     bytes_per_line = sum(line_bytes.values())
     out = {n: np.empty((height, width), np.float32) for n in names}
 
-    for ci, off in enumerate(offsets):
-        cy0 = ci * lines_per_chunk
-        cy1 = min(cy0 + lines_per_chunk, height)
+    for off in offsets:
+        # place each chunk by its own y coordinate (not the offset-table
+        # index) so DECREASING_Y line order decodes correctly too
         y_file, size = struct.unpack_from("<ii", buf, off)
+        cy0 = y_file - y0
+        cy1 = min(cy0 + lines_per_chunk, height)
         payload = bytes(buf[off + 8 : off + 8 + size])
         raw_size = (cy1 - cy0) * bytes_per_line
         raw = payload if size == raw_size else _zip_decompress(payload, raw_size)
@@ -255,8 +261,13 @@ def write_exr_groups(
         c = arr.shape[-1]
         if c == 1:
             suffixes = ["Y"] if g == "default" else ["Z"]
-        else:
+        elif c <= 4:
             suffixes = ["R", "G", "B", "A"][:c]
+        else:
+            raise ValueError(
+                f"group {g!r} has {c} channels; EXR groups carry at most "
+                "4 (R/G/B/A) — split wider arrays into named groups",
+            )
         for i, s in enumerate(suffixes):
             name = s if g == "default" else f"{g}.{s}"
             channels[name] = arr[..., i]

@@ -15,7 +15,6 @@ the reference for determinism.
 from __future__ import annotations
 
 import os
-import queue
 import random
 import threading
 from pathlib import Path
@@ -67,20 +66,21 @@ class Hdf5Constructor:
         """Pair noisy/GT EXRs by `<scene>_<idx>` and shuffle (seeded)."""
         noisy_root = Path(self.data_path) / f"{self.noisy_spp}spp"
         gt_root = Path(self.data_path) / f"{self.gt_spp}spp"
-        gt_paths, exr_paths = [], []
+        pairs = []
         for file in sorted(os.listdir(gt_root)):
             if not file.endswith(".exr"):
                 continue
-            parts = file.split("_")
-            stem = f"{parts[0]}_{parts[1]}"
+            # strip only the trailing `_<spp>.exr` so scene names that
+            # themselves contain underscores keep their full stem+index
+            stem = file[: -len(".exr")].rsplit("_", 1)[0]
             gt = str(gt_root / f"{stem}_{self.gt_spp}")
             noisy = str(noisy_root / f"{stem}_{self.noisy_spp}")
-            if gt not in gt_paths:
-                gt_paths.append(gt)
-                exr_paths.append(noisy)
-        if len(exr_paths) != len(gt_paths):
-            raise RuntimeError("#samples does not equal #gts, check the data!")
-        self.paths = list(zip(exr_paths, gt_paths))
+            if not os.path.exists(f"{noisy}.exr"):
+                raise RuntimeError(
+                    f"GT frame {file} has no noisy counterpart {noisy}.exr",
+                )
+            pairs.append((noisy, gt))
+        self.paths = pairs
         random.Random(self.seed).shuffle(self.paths)
 
     def _build_patch_stores(self) -> None:
@@ -121,15 +121,20 @@ class Hdf5Constructor:
                         chunks=True,
                     )
 
-        # remaining pairs split train/val and consumed by workers
-        work: queue.Queue = queue.Queue()
+        # remaining pairs split train/val; worker k statically owns items
+        # k::n_workers so the pair→RNG-stream assignment is deterministic
+        # (a shared queue made it depend on OS thread scheduling)
         n_rest = len(self.paths) - 2
         n_train = int(self.train_val_ratio[0] * n_rest)
-        for j, pair in enumerate(self.paths[2:]):
-            work.put(("train" if j < n_train else "val", pair))
+        work_items = [
+            ("train" if j < n_train else "val", pair)
+            for j, pair in enumerate(self.paths[2:])
+        ]
+        n_workers = min(self.num_workers, max(1, n_rest))
 
         lock = threading.Lock()
         done = {"count": 0}
+        errors: list[BaseException] = []
 
         def worker(worker_id: int) -> None:
             wrng = (
@@ -137,36 +142,47 @@ class Hdf5Constructor:
                 if self.deterministic
                 else random.Random()
             )
-            while True:
-                try:
-                    split, pair = work.get_nowait()
-                except queue.Empty:
-                    return
-                cropped, _ = get_cropped_patches(
-                    pair[0],
-                    pair[1],
-                    self.patch_size,
-                    self.num_patches,
-                    wrng,
-                    scale=self.scale,
-                )
-                with lock:
-                    done["count"] += 1
-                    logger.info(
-                        f"Generating patches: {done['count']} / {n_rest}",
+            try:
+                for split, pair in work_items[worker_id::n_workers]:
+                    cropped, _ = get_cropped_patches(
+                        pair[0],
+                        pair[1],
+                        self.patch_size,
+                        self.num_patches,
+                        wrng,
+                        scale=self.scale,
                     )
-                    with h5py.File(path_map[split], "a") as hf:
-                        for key in shapes:
-                            batch = np.array([c[key] for c in cropped], np.float32)
-                            hf[key].resize(hf[key].shape[0] + len(batch), axis=0)
-                            hf[key][-len(batch):] = batch
+                    # stack outside the lock — only the h5 append needs it
+                    batches = {
+                        key: np.array([c[key] for c in cropped], np.float32)
+                        for key in shapes
+                    }
+                    with lock:
+                        done["count"] += 1
+                        logger.info(
+                            f"Generating patches: {done['count']} / {n_rest}",
+                        )
+                        with h5py.File(path_map[split], "a") as hf:
+                            for key, batch in batches.items():
+                                if len(batch) == 0:
+                                    continue  # pruning can drop every patch
+                                hf[key].resize(
+                                    hf[key].shape[0] + len(batch), axis=0,
+                                )
+                                hf[key][-len(batch):] = batch
+            except BaseException as e:  # surface to the caller after join
+                with lock:
+                    errors.append(e)
 
         threads = [
-            threading.Thread(target=worker, args=(i,))
-            for i in range(min(self.num_workers, max(1, n_rest)))
+            threading.Thread(target=worker, args=(i,)) for i in range(n_workers)
         ]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        if errors:
+            raise RuntimeError(
+                f"{len(errors)} patch worker(s) failed; dataset is incomplete",
+            ) from errors[0]
         logger.info("Generating patches: done")

@@ -215,6 +215,15 @@ def importance_sampling(
     use_native: bool = True,
 ):
     buffers = [data["noisy"][:, :, :], data["normal"][:, :, :]]
+    h, w = buffers[0].shape[:2]
+    if h <= patch_size or w <= patch_size:
+        # the dart-throwing x/y ranges collapse: Python's rng.randint
+        # raises on an empty range, while the native path would spin or
+        # wrap — fail loudly and identically for both
+        raise ValueError(
+            f"image {w}x{h} is too small for patch_size={patch_size} "
+            "importance sampling (needs strictly larger dimensions)",
+        )
     imp_map = get_importance_map(
         buffers, ["relative", "variance"], [1.0, 1.0], patch_size,
     )
