@@ -44,7 +44,7 @@ def main() -> None:
         make_train_step,
     )
 
-    use_pallas = jax.default_backend() not in ("cpu",)
+    use_pallas = jax.default_backend() not in ("cpu", "gpu")
     # num_gcp=0: gradient checkpointing off — the reference remats 3/5
     # blocks to fit a 24 GB RTX 3090 (model.py:661); at prod shapes the
     # full activation set fits v5e HBM, so the recompute is pure waste

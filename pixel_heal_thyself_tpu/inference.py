@@ -120,16 +120,18 @@ def denoise_frame(
 
 
 def denoise_frame_spatial(
-    apply_fn,
+    sharded_apply,
     data: dict[str, np.ndarray],
     mesh,
     margin: int = 32,
 ) -> np.ndarray:
     """Denoise one frame with rows sharded over the mesh 'data' axis and
-    halo exchange between neighbor devices (`parallel.spatial`). Boundary
-    semantics match `denoise_frame` (edge replication), so both paths
-    produce the same output when margin covers the receptive field."""
-    from pixel_heal_thyself_tpu.parallel.spatial import sharded_apply_rows
+    halo exchange between neighbor devices (`parallel.spatial`).
+    `sharded_apply` comes from `make_sharded_apply_rows` — built once per
+    run so repeated frames of the same shape reuse the compiled program.
+    Boundary semantics match `denoise_frame` (edge replication), so both
+    paths produce the same output when margin covers the receptive
+    field."""
 
     noisy_log = preprocess_specular(data["noisy"]).astype(np.float32)
     aux = data["aux"].astype(np.float32).copy()
@@ -160,9 +162,7 @@ def denoise_frame_spatial(
     noisy_p = np.pad(noisy_log, pad, mode="edge")[None]
     aux_p = np.pad(aux, pad, mode="edge")[None]
 
-    out = sharded_apply_rows(
-        apply_fn, mesh, margin, jnp.asarray(noisy_p), jnp.asarray(aux_p),
-    )
+    out = sharded_apply(jnp.asarray(noisy_p), jnp.asarray(aux_p))
     out_log = np.asarray(out, np.float32)[0, :h, margin : margin + w]
     return postprocess_specular(out_log)
 
@@ -174,8 +174,9 @@ def find_frame_pairs(images_dir: str | Path, noisy_spp: int, gt_spp: int):
     for f in sorted(os.listdir(gt_root)):
         if not f.endswith(".exr"):
             continue
-        parts = f.split("_")
-        stem = f"{parts[0]}_{parts[1]}"
+        # strip only the trailing `_<spp>.exr` — scene names may contain
+        # underscores themselves
+        stem = f[: -len(".exr")].rsplit("_", 1)[0]
         pairs.append(
             (
                 stem,
@@ -218,11 +219,16 @@ def run_inference(
     os.makedirs(out_dir, exist_ok=True)
 
     mesh = None
+    sharded_apply = None
     if spatial:
         from pixel_heal_thyself_tpu.parallel.mesh import make_mesh
+        from pixel_heal_thyself_tpu.parallel.spatial import make_sharded_apply_rows
 
         mesh = make_mesh(data_axis=len(jax.devices()), model_axis=1)
-        apply_fn = lambda n, a: model.apply(variables, n, a)  # noqa: E731
+        # built once: same-shaped frames reuse the compiled program
+        sharded_apply = make_sharded_apply_rows(
+            lambda n, a: model.apply(variables, n, a), mesh, margin,
+        )
         logger.info(
             f"[Infer] spatial sharding over {mesh.shape['data']} devices",
         )
@@ -232,7 +238,9 @@ def run_inference(
         start = time.time()
         data = preprocess_data(noisy_path, gt_path, scale=scale)
         if spatial:
-            out_lin = denoise_frame_spatial(apply_fn, data, mesh, margin=margin)
+            out_lin = denoise_frame_spatial(
+                sharded_apply, data, mesh, margin=margin,
+            )
         else:
             out_lin = denoise_frame(
                 apply_fn, data, tile=tile, margin=margin, batch_tiles=batch_tiles,

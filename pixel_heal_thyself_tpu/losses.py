@@ -100,7 +100,9 @@ def wdiv_gradient_penalty(
         (real_data.shape[0],) + (1,) * (real_data.ndim - 1),
         jnp.float32,
     )
-    interp = alpha * real_data + (1 - alpha) * fake_data
+    # detach like gradient_penalty: the penalty must not backprop into
+    # the generator through fake_data (reference detaches, :60-100)
+    interp = alpha * real_data + (1 - alpha) * jax.lax.stop_gradient(fake_data)
 
     def critic_sum(x):
         return jnp.sum(d_apply(x).astype(jnp.float32))

@@ -53,7 +53,6 @@ class DiscriminatorVGG(nn.Module):
             act_type=self.act_type,
             dtype=self.dtype,
         )(x)
-        curr_nf = self.base_nf
         for i in range(num_downsample):
             next_nf = min(self.base_nf * (2 ** (i + 1)), self.base_nf * 8)
             x = ConvBlock(
@@ -74,7 +73,6 @@ class DiscriminatorVGG(nn.Module):
                 act_type=self.act_type,
                 dtype=self.dtype,
             )(x)
-            curr_nf = next_nf
 
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(

@@ -78,7 +78,6 @@ def _vgg_features(params: dict, x: jnp.ndarray) -> list[jnp.ndarray]:
     """x: NHWC in [-1, 1] → the 5 tapped relu feature maps."""
     x = (x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
     taps: list[jnp.ndarray] = [None] * 5
-    layer_idx = 0
     conv_i = 0
     for conv_idx, _ in _VGG16_CONVS:
         if conv_idx in _POOL_BEFORE:
@@ -98,8 +97,6 @@ def _vgg_features(params: dict, x: jnp.ndarray) -> list[jnp.ndarray]:
         if relu_idx in _TAP_AFTER:
             taps[_TAP_AFTER[relu_idx]] = x
         conv_i += 1
-        layer_idx = relu_idx
-    del layer_idx
     return taps
 
 

@@ -10,31 +10,26 @@ no host gathers.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def sharded_apply_rows(
-    apply_fn,
-    mesh: Mesh,
-    margin: int,
-    noisy: jnp.ndarray,
-    aux: jnp.ndarray,
-) -> jnp.ndarray:
-    """Apply `apply_fn(noisy, aux) -> out` to a full frame with rows
-    sharded over the 'data' axis and halo exchange between neighbors.
+def make_sharded_apply_rows(apply_fn, mesh: Mesh, margin: int):
+    """Build a jitted rows-sharded frame apply (see `sharded_apply_rows`).
 
-    noisy/aux: [B, H, W, C*]; H must divide evenly by the axis size and
-    the per-device strip plus 2·margin must satisfy the model's
-    divisibility constraints (margin a multiple of the attention block).
+    Build once and reuse across frames: constructing the shard_map (and
+    its closures) per call would miss the jit cache and re-trace the full
+    model for every frame.
     """
     axis = "data"
     n = mesh.shape[axis]
-    if noisy.shape[1] % n:
-        raise ValueError(f"H={noisy.shape[1]} not divisible by mesh axis {n}")
+    if margin < 1:
+        raise ValueError(
+            f"margin={margin} must be >= 1: the halo exchange ships "
+            "`margin` edge rows per neighbor (and x[:, -margin:] would "
+            "select the whole strip at 0)",
+        )
 
     def exchange_halo(x):
         # neighbor edge strips: up neighbor's bottom rows, down neighbor's
@@ -62,12 +57,42 @@ def sharded_apply_rows(
         return out[:, margin:-margin]
 
     spec = P(None, axis, None, None)
-    fn = jax.shard_map(
-        per_shard,
-        mesh=mesh,
-        in_specs=(spec, spec),
-        out_specs=spec,
+    fn = jax.jit(
+        jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=spec,
+        ),
     )
-    noisy = jax.device_put(noisy, NamedSharding(mesh, spec))
-    aux = jax.device_put(aux, NamedSharding(mesh, spec))
-    return fn(noisy, aux)
+
+    def apply(noisy: jnp.ndarray, aux: jnp.ndarray) -> jnp.ndarray:
+        if noisy.shape[1] % n:
+            raise ValueError(
+                f"H={noisy.shape[1]} not divisible by mesh axis {n}",
+            )
+        sharding = NamedSharding(mesh, spec)
+        return fn(
+            jax.device_put(noisy, sharding), jax.device_put(aux, sharding),
+        )
+
+    return apply
+
+
+def sharded_apply_rows(
+    apply_fn,
+    mesh: Mesh,
+    margin: int,
+    noisy: jnp.ndarray,
+    aux: jnp.ndarray,
+) -> jnp.ndarray:
+    """Apply `apply_fn(noisy, aux) -> out` to a full frame with rows
+    sharded over the 'data' axis and halo exchange between neighbors.
+
+    noisy/aux: [B, H, W, C*]; H must divide evenly by the axis size and
+    the per-device strip plus 2·margin must satisfy the model's
+    divisibility constraints (margin a multiple of the attention block).
+    One-shot convenience over `make_sharded_apply_rows` — loops over
+    frames should build the callable once instead.
+    """
+    return make_sharded_apply_rows(apply_fn, mesh, margin)(noisy, aux)

@@ -107,6 +107,7 @@ class BaseTrainer:
         # fused Pallas attention on real TPUs; XLA path elsewhere (CPU tests)
         self.use_pallas = cfg.trainer.use_pallas and jax.default_backend() not in (
             "cpu",
+            "gpu",  # the fused kernels are Pallas-TPU (Mosaic) only
         )
         self.mesh = self._build_mesh()
 

@@ -122,7 +122,11 @@ class TestSpatialSharding:
             jax.jit(apply_fn), data, tile=16, margin=24, batch_tiles=4,
         )
         mesh = make_mesh(data_axis=4, model_axis=1, devices=jax.devices()[:4])
-        spatial = denoise_frame_spatial(apply_fn, data, mesh, margin=24)
+        from pixel_heal_thyself_tpu.parallel.spatial import make_sharded_apply_rows
+
+        spatial = denoise_frame_spatial(
+            make_sharded_apply_rows(apply_fn, mesh, 24), data, mesh, margin=24,
+        )
         assert spatial.shape == sequential.shape
         np.testing.assert_allclose(spatial, sequential, atol=2e-5, rtol=1e-4)
 

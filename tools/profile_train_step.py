@@ -41,7 +41,7 @@ def capture(trace_dir: str, steps: int) -> None:
 
     enable_compilation_cache()
     b, p = 8, 128
-    use_pallas = jax.default_backend() not in ("cpu",)
+    use_pallas = jax.default_backend() not in ("cpu", "gpu")
     g = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0)
     d = DiscriminatorVGG(input_size=p, dtype=jnp.bfloat16)
     g_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)

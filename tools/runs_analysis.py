@@ -102,10 +102,18 @@ def experiment_name(run_dir: Path, name_map: dict[str, str]) -> str:
 
 
 def iqr_filter(df: pd.DataFrame, metric: str = "psnr") -> pd.DataFrame:
-    """Drop runs whose final-epoch metric is an IQR outlier within its
-    experiment (reference behavior: outlier runs removed entirely)."""
+    """Drop runs whose final evaluated metric is an IQR outlier within its
+    experiment (reference behavior: outlier runs removed entirely).
+
+    "Final" means each run's last epoch WITH the metric: evaluation rows
+    only exist every save_interval epochs, so the max-epoch row is often
+    a loss-only line whose NaN metric would silently disable (or worse,
+    misapply) the filter."""
     keep_runs = []
-    final = df.loc[df.groupby("run")["epoch"].idxmax()]
+    scored = df.dropna(subset=[metric])
+    unscored = df.loc[~df["run"].isin(scored["run"])]
+    keep_runs.extend(unscored["run"].unique())  # no eval rows: keep
+    final = scored.loc[scored.groupby("run")["epoch"].idxmax()]
     for _, grp in final.groupby("experiment"):
         vals = grp[metric].dropna()
         if len(vals) < 4:

@@ -25,7 +25,9 @@ class LineCollapser:
         data = self._partial + chunk
         *complete, self._partial = data.split("\n")
         for line in complete:
-            self._emit(line.rsplit("\r", 1)[-1] + "\n")
+            # a trailing \r (CRLF line ending) carries no overwrite — the
+            # text before it is the final visible state
+            self._emit(line.rstrip("\r").rsplit("\r", 1)[-1] + "\n")
         # A \r with no newline yet still invalidates what came before it.
         self._partial = self._partial.rsplit("\r", 1)[-1]
 
