@@ -126,8 +126,11 @@ class PrefetchLoader:
         n = len(self.dataset)
         if not self.shuffle:
             return np.arange(n)
-        seed = (self.seed or 0) + self._epoch
-        return np.random.default_rng(seed).permutation(n)
+        if self.seed is None:
+            # non-deterministic mode: genuinely unseeded (treating None as
+            # 0 silently made every "unseeded" run byte-identical)
+            return np.random.default_rng().permutation(n)
+        return np.random.default_rng(self.seed + self._epoch).permutation(n)
 
     def _batch_indices(self, indices: np.ndarray, b: int) -> np.ndarray:
         idx = indices[b * self.batch_size : (b + 1) * self.batch_size]

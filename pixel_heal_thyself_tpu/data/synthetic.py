@@ -53,6 +53,8 @@ def generate_scene(
     height: int = 128,
     width: int = 128,
     hdr_scale: float = 4.0,
+    noisy_spp: int = 32,
+    gt_spp: int = 1024,
 ):
     """One scene: returns (gt_groups, noisy_groups) channel dicts."""
     radiance = _smooth_field(rng, height, width, 3) ** 2 * hdr_scale
@@ -67,9 +69,9 @@ def generate_scene(
         noisy = radiance * (1.0 + noise * (3.0 / np.sqrt(spp)))
         return np.clip(noisy, 0.0, None).astype(np.float32)
 
-    gt_groups = {"default": render(1024)}
+    gt_groups = {"default": render(gt_spp)}
     noisy_groups = {
-        "default": render(32),
+        "default": render(noisy_spp),
         "normal": normal.astype(np.float32),
         "depth": depth.astype(np.float32),
         "albedo": albedo.astype(np.float32),
@@ -95,7 +97,9 @@ def generate_dataset(
     gt_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     for scene in scenes:
-        gt_groups, noisy_groups = generate_scene(rng, height, width)
+        gt_groups, noisy_groups = generate_scene(
+            rng, height, width, noisy_spp=noisy_spp, gt_spp=gt_spp,
+        )
         write_exr_groups(
             gt_dir / f"{scene}_{gt_spp}.exr", gt_groups, pixel_type="float",
         )

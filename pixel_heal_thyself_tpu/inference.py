@@ -193,7 +193,12 @@ def load_generator(cfg: Config):
     from pixel_heal_thyself_tpu.training import checkpoints
     from pixel_heal_thyself_tpu.training.trainer import AFGSATrainer, MambaTrainer
 
-    trainer_cls = AFGSATrainer if cfg.model.name == "afgsa" else MambaTrainer
+    if cfg.model.name == "afgsa":
+        trainer_cls = AFGSATrainer
+    elif cfg.model.name == "mamba":
+        trainer_cls = MambaTrainer
+    else:
+        raise ValueError(f"Unsupported model: {cfg.model.name!r}")
     trainer = trainer_cls(cfg)
     model = trainer.create_generator()
     restored = checkpoints.restore_params(cfg.trainer.model_path)

@@ -47,11 +47,6 @@ def _save_run_metadata(cfg_tree: dict, overrides: list[str]) -> None:
 
 
 def run_single(config_name: str, overrides: list[str]) -> None:
-    from pixel_heal_thyself_tpu.utils.compilation_cache import (
-        enable_compilation_cache,
-    )
-
-    enable_compilation_cache()
     cfg_tree = compose(config_name, overrides)
     cfg = ConfigRegistry.create_config(cfg_tree)
     logger.setup_logger(cfg.logging.level)
@@ -76,6 +71,12 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("-m", "--multirun", action="store_true")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
+
+    from pixel_heal_thyself_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()  # single runs AND every -m sweep job
 
     if not args.multirun:
         run_single(args.config_name, args.overrides)

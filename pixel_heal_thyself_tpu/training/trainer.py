@@ -57,7 +57,6 @@ from pixel_heal_thyself_tpu.training.train_step import (
     make_train_step,
     multistep_milestone_epochs,
 )
-from pixel_heal_thyself_tpu.utils import run_once_multiprocessing
 from pixel_heal_thyself_tpu.utils.images import (
     create_folder,
     save_img_group,
@@ -65,10 +64,20 @@ from pixel_heal_thyself_tpu.utils.images import (
 )
 
 
-@run_once_multiprocessing
+_last_determinism_seed: list[int | None] = [None]
+
+
 def set_determinism(seed: int, deterministic: bool = True, _prefix=None) -> None:
     """Seed host RNGs (reference `base_trainer.py:50-67`). Device-side
-    determinism comes from explicit jax.random keys."""
+    determinism comes from explicit jax.random keys.
+
+    The reference guards this run-once because Hydra spawns one process
+    per job; this multirun is in-process, so a pure run-once would leave
+    jobs 2..n of a `-m seed=1,2,3` sweep seeded from job 1 — instead,
+    re-apply whenever the requested seed changes."""
+    if _last_determinism_seed[0] == seed:
+        return
+    _last_determinism_seed[0] = seed
     random.seed(seed)
     np.random.seed(seed)
     os.environ["PYTHONHASHSEED"] = str(seed)
@@ -101,9 +110,13 @@ class BaseTrainer:
         self.compute_dtype = (
             jnp.bfloat16 if cfg.trainer.precision == "bf16" else jnp.float32
         )
-        if cfg.trainer.precision == "fp32":
-            # keep fp32 matmuls genuinely fp32 on the MXU
-            jax.config.update("jax_default_matmul_precision", "highest")
+        # keep fp32 matmuls genuinely fp32 on the MXU; set BOTH ways so an
+        # in-process multirun sweep over precision doesn't leak the fp32
+        # job's global setting into the bf16 jobs that follow
+        jax.config.update(
+            "jax_default_matmul_precision",
+            "highest" if cfg.trainer.precision == "fp32" else None,
+        )
         # fused Pallas attention on real TPUs; XLA path elsewhere (CPU tests)
         self.use_pallas = cfg.trainer.use_pallas and jax.default_backend() not in (
             "cpu",
@@ -169,33 +182,43 @@ class BaseTrainer:
         train_path = os.path.join(patches_dir, "train.h5")
         val_path = os.path.join(patches_dir, "val.h5")
         if not (os.path.exists(train_path) and os.path.exists(val_path)):
-            if self.cfg.data.images.synthesize and not os.path.isdir(
-                self.cfg.data.images.dir,
-            ):
-                from pixel_heal_thyself_tpu.data.synthetic import generate_dataset
-
-                logger.info(
-                    f"Images dir {self.cfg.data.images.dir} missing — "
-                    "generating synthetic scenes",
-                )
-                generate_dataset(
+            # multi-host: only process 0 builds into the (shared) data dir —
+            # concurrent writers would corrupt the stores; everyone else
+            # waits at the barrier and then reads the finished files
+            if self.is_main:
+                if self.cfg.data.images.synthesize and not os.path.isdir(
                     self.cfg.data.images.dir,
-                    height=self.cfg.data.images.synthetic_size,
-                    width=self.cfg.data.images.synthetic_size,
-                    seed=self.cfg.seed,
-                )
-            logger.info(f"Creating dataset: patches in {patches_dir}")
-            os.makedirs(patches_dir, exist_ok=True)
-            Hdf5Constructor(
-                self.cfg.data.images.dir,
-                patches_dir,
-                self.cfg.data.patches.patch_size,
-                self.cfg.data.patches.num_patches,
-                self.cfg.seed,
-                self.cfg.data_ratio,
-                scale=self.cfg.data.images.scale,
-                deterministic=self.deterministic,
-            ).construct_hdf5()
+                ):
+                    from pixel_heal_thyself_tpu.data.synthetic import (
+                        generate_dataset,
+                    )
+
+                    logger.info(
+                        f"Images dir {self.cfg.data.images.dir} missing — "
+                        "generating synthetic scenes",
+                    )
+                    generate_dataset(
+                        self.cfg.data.images.dir,
+                        height=self.cfg.data.images.synthetic_size,
+                        width=self.cfg.data.images.synthetic_size,
+                        seed=self.cfg.seed,
+                    )
+                logger.info(f"Creating dataset: patches in {patches_dir}")
+                os.makedirs(patches_dir, exist_ok=True)
+                Hdf5Constructor(
+                    self.cfg.data.images.dir,
+                    patches_dir,
+                    self.cfg.data.patches.patch_size,
+                    self.cfg.data.patches.num_patches,
+                    self.cfg.seed,
+                    self.cfg.data_ratio,
+                    scale=self.cfg.data.images.scale,
+                    deterministic=self.deterministic,
+                ).construct_hdf5()
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("pht_dataset_build")
 
         from pixel_heal_thyself_tpu.parallel.mesh import batch_sharding, replicated
 
@@ -282,8 +305,12 @@ class BaseTrainer:
         patch = cfg.data.patches.patch_size
         rng = jax.random.PRNGKey(cfg.seed)
         g_rng, d_rng, step_rng = jax.random.split(rng, 3)
-        sample_noisy = jnp.zeros((batch_size, patch, patch, 3))
-        sample_aux = jnp.zeros((batch_size, patch, patch, 7))
+        # init with the per-DP-shard batch: param shapes are batch-
+        # independent, and a full GLOBAL batch forward on one device would
+        # OOM at pod-scale batch sizes the sharded step itself handles fine
+        init_b = max(1, batch_size // self.mesh.shape["data"])
+        sample_noisy = jnp.zeros((init_b, patch, patch, 3))
+        sample_aux = jnp.zeros((init_b, patch, patch, 7))
         gstate = init_train_state(g_model, g_tx, g_rng, sample_noisy, sample_aux)
         dstate = init_train_state(d_model, d_tx, d_rng, sample_noisy)
 
@@ -356,11 +383,18 @@ class BaseTrainer:
                 end_io = time.time()
                 io_took = end_io - end
                 # profiler trace of a steady-state window (reference had no
-                # tracing at all, SURVEY.md §5; iter_time/io_time retained)
-                if cfg.trainer.profile_dir and epoch == start_epoch:
-                    if i_batch == 10:
+                # tracing at all, SURVEY.md §5; iter_time/io_time retained).
+                # Short epochs clamp the window so the trace always closes.
+                if (
+                    cfg.trainer.profile_dir
+                    and epoch == start_epoch
+                    and total_iterations >= 2
+                ):
+                    prof_start = min(10, max(0, total_iterations - 2))
+                    prof_stop = min(15, total_iterations - 1)
+                    if i_batch == prof_start:
                         jax.profiler.start_trace(cfg.trainer.profile_dir)
-                    elif i_batch == 15:
+                    elif i_batch == prof_stop:
                         jax.profiler.stop_trace()
                         logger.info(
                             f"Wrote profiler trace to {cfg.trainer.profile_dir}",
