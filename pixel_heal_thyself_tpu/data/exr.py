@@ -147,9 +147,7 @@ def write_exr(
         f.write(struct.pack(f"<{num_chunks}Q", *offsets))
 
 
-def read_exr_channels(path: str | Path) -> dict[str, np.ndarray]:
-    """Read a scanline EXR into {channel name: HxW float32}."""
-    buf = memoryview(Path(path).read_bytes())
+def _parse_header(buf: memoryview) -> dict:
     magic, version = struct.unpack_from("<ii", buf, 0)
     if magic != _MAGIC:
         raise ValueError(f"not an EXR file: {path}")
@@ -187,10 +185,40 @@ def read_exr_channels(path: str | Path) -> dict[str, np.ndarray]:
         elif name == "dataWindow":
             data_window = struct.unpack("<iiii", value)
 
+    x0, y0, x1, y1 = data_window
+    return {
+        "channels": channels,
+        "data_window": data_window,
+        "width": x1 - x0 + 1,
+        "height": y1 - y0 + 1,
+        "compression": comp_id,
+        "header_end": pos,
+    }
+
+
+def read_exr_header(path: str | Path) -> dict:
+    """Parse just the EXR header: channels, geometry, compression.
+
+    Returns {"channels": [(name, pixel_type_id)], "data_window": (x0,y0,x1,y1),
+    "width", "height", "compression", "header_end" (byte offset past the
+    header terminator)}. Backs the inspection helpers
+    (reference `pht/models/afgsa/util.py:48-57` via pyexr's describe).
+    """
+    return _parse_header(memoryview(Path(path).read_bytes()))
+
+
+def read_exr_channels(path: str | Path) -> dict[str, np.ndarray]:
+    """Read a scanline EXR into {channel name: HxW float32}."""
+    buf = memoryview(Path(path).read_bytes())
+    hdr = _parse_header(buf)
+    channels = hdr["channels"]
+    comp_id = hdr["compression"]
+    pos = hdr["header_end"]
+
     if comp_id not in _COMPRESSION_LINES:
         raise NotImplementedError(f"unsupported EXR compression id {comp_id}")
 
-    x0, y0, x1, y1 = data_window
+    x0, y0, x1, y1 = hdr["data_window"]
     width, height = x1 - x0 + 1, y1 - y0 + 1
     lines_per_chunk = _COMPRESSION_LINES[comp_id]
     num_chunks = -(-height // lines_per_chunk)

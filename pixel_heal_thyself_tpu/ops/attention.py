@@ -187,6 +187,16 @@ def block_halo_attention(
     use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Dispatching entry point: Pallas fused kernel or XLA fallback."""
+    _, h, w, _ = q.shape
+    if h % block_size != 0 or w % block_size != 0:
+        # reference model.py:469-471 asserts the same invariant; fail here
+        # with a clear message instead of an opaque reshape error deep in
+        # the window extraction
+        raise ValueError(
+            f"feature map H×W = {h}×{w} must be divisible by "
+            f"block_size={block_size}; pad or tile the input "
+            f"(inference.py tiles full frames to block-aligned sizes)",
+        )
     if use_pallas:
         from pixel_heal_thyself_tpu.ops.attention_pallas import (
             block_halo_attention_pallas,

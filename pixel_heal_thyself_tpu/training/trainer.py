@@ -67,7 +67,7 @@ from pixel_heal_thyself_tpu.utils.images import (
 _last_determinism_seed: list[int | None] = [None]
 
 
-def set_determinism(seed: int, deterministic: bool = True, _prefix=None) -> None:
+def set_determinism(seed: int) -> None:
     """Seed host RNGs (reference `base_trainer.py:50-67`). Device-side
     determinism comes from explicit jax.random keys.
 
@@ -90,7 +90,7 @@ class BaseTrainer:
         self.cfg = cfg
         self.deterministic = cfg.trainer.deterministic
         self.model_name = self.__class__.__name__.replace("Trainer", "")
-        set_determinism(cfg.seed, self.deterministic, self.model_name)
+        set_determinism(cfg.seed)
         # multi-host: join the jax.distributed runtime BEFORE any device
         # use; every host then sees the global device set (parallel/
         # distributed.py — env-driven or parallel.multihost on TPU pods)

@@ -171,3 +171,21 @@ def test_curve_indices_properties():
     # zorder: first quad of a 4x4 block
     z4 = make_curve_indices(4, CurveOrder.ZORDER)
     assert z4[:4].tolist() == [0, 1, 4, 5]
+
+
+def test_block_divisibility_guard():
+    """Non-block-divisible inputs fail loudly with a clear message
+    (reference model.py:469-471)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from pixel_heal_thyself_tpu.ops.attention import block_halo_attention
+
+    q = jnp.zeros((1, 12, 16, 8))  # H=12 not divisible by block 8
+    rel = jnp.zeros((14, 1))
+    idx = jnp.arange(64)
+    with pytest.raises(ValueError, match="divisible by"):
+        block_halo_attention(
+            q, q, q, rel, rel, idx, idx,
+            block_size=8, halo_size=3, num_heads=4,
+        )

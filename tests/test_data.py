@@ -83,6 +83,72 @@ class TestExrCodec:
         assert img[0, 0].tolist() == [1.0, 2.0, 3.0]
 
 
+class TestInspect:
+    """EXR describe/display helpers (reference util.py:17-68)."""
+
+    def _write_sample(self, tmp_path):
+        rng = np.random.default_rng(3)
+        groups = {
+            "default": rng.uniform(0, 5, (8, 8, 3)).astype(np.float32),
+            "normal": rng.uniform(-1, 1, (8, 8, 3)).astype(np.float32),
+            "depth": rng.uniform(0, 9, (8, 8, 1)).astype(np.float32),
+        }
+        p = tmp_path / "s.exr"
+        write_exr_groups(p, groups, pixel_type="float")
+        return p, groups
+
+    def test_describe(self, tmp_path):
+        from pixel_heal_thyself_tpu.data.inspect import describe_exr
+
+        p, _ = self._write_sample(tmp_path)
+        text = describe_exr(str(p))
+        assert "Width: 8" in text and "Height: 8" in text
+        for name in ("R", "G", "B", "normal.R", "depth.Z"):
+            assert name in text
+        assert "Default channels: 3" in text
+
+    def test_display_normalization(self, tmp_path):
+        from pixel_heal_thyself_tpu.data.inspect import process_channel_display
+
+        rng = np.random.default_rng(4)
+        # radiance: clip + gamma
+        rad = rng.uniform(0, 5, (6, 6, 3)).astype(np.float32)
+        out = process_channel_display(rad, "default")
+        np.testing.assert_allclose(
+            out, np.clip(rad, 0, 1) ** 0.45454545, rtol=1e-6,
+        )
+        # normals: unit-normalized + abs
+        nrm = rng.uniform(-1, 1, (6, 6, 3)).astype(np.float32)
+        out = process_channel_display(nrm, "normal")
+        np.testing.assert_allclose(
+            np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5,
+        )
+        assert (out >= 0).all()
+        # depth: max-normalize, 1-channel squeezed to 2-D
+        dep = rng.uniform(0, 9, (6, 6, 1)).astype(np.float32)
+        out = process_channel_display(dep, "depth")
+        assert out.shape == (6, 6)
+        assert np.isclose(out.max(), 1.0)
+        # zero depth map stays zero (no div-by-zero)
+        out = process_channel_display(np.zeros((4, 4, 1), np.float32), "depth")
+        assert (out == 0).all()
+
+    def test_show_channel_saves_png(self, tmp_path):
+        from pixel_heal_thyself_tpu.data.inspect import (
+            show_exr_channel,
+            show_exr_info,
+        )
+
+        p, groups = self._write_sample(tmp_path)
+        show_exr_info(str(p))  # logs, shouldn't raise
+        png = tmp_path / "out.png"
+        disp = show_exr_channel(str(p), "default", save_path=str(png))
+        assert png.exists() and png.stat().st_size > 0
+        assert disp.shape == groups["default"].shape
+        with pytest.raises(KeyError):
+            show_exr_channel(str(p), "nope", save_path=str(png))
+
+
 class TestPreprocessing:
     def test_scale_exr_img(self):
         x = np.arange(16, dtype=np.float32).reshape(4, 4, 1)

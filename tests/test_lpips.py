@@ -59,6 +59,134 @@ class TestConvertedWeightChannel:
         )
 
 
+class TestConverterToolMapping:
+    """Execute tools/convert_lpips_weights.py `main()` itself against stub
+    torchvision/lpips modules built from REAL torch layers (same module
+    structure the tool reads: `vgg.features.state_dict()` with torchvision
+    Sequential indices, `lpips.LPIPS().lin<k>.model[1].weight` Parameters),
+    then prove the npz → load_lpips_params → lpips_distance chain matches a
+    direct torch evaluation of those very modules. This pins the tool's
+    tensor mapping (feature indices, OIHW→HWIO, lin reshape), leaving only
+    the artifact download as an ops step (reference base_trainer.py:441-448)."""
+
+    @staticmethod
+    def _build_torch_vgg16_features(seed: int):
+        import torch
+        import torch.nn as nn
+
+        torch.manual_seed(seed)
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers: list = []
+        in_ch = 3
+        for v in cfg:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers.append(nn.Conv2d(in_ch, v, 3, padding=1))
+                layers.append(nn.ReLU(inplace=False))
+                in_ch = v
+        return nn.Sequential(*layers)
+
+    def test_converter_main_end_to_end(self, tmp_path, monkeypatch):
+        import sys
+        import types
+
+        import torch
+        import torch.nn as nn
+
+        features = self._build_torch_vgg16_features(0)
+        # sanity: torchvision index layout matches the loader's table
+        for conv_idx, out_ch in _VGG16_CONVS:
+            assert isinstance(features[conv_idx], nn.Conv2d)
+            assert features[conv_idx].out_channels == out_ch
+
+        class _FakeVGG:
+            pass
+
+        fake_vgg = _FakeVGG()
+        fake_vgg.features = features
+
+        tv_models = types.ModuleType("torchvision.models")
+        tv_models.vgg16 = lambda weights=None: fake_vgg
+        tv_models.VGG16_Weights = types.SimpleNamespace(IMAGENET1K_V1="v1")
+        tv = types.ModuleType("torchvision")
+        tv.models = tv_models
+
+        torch.manual_seed(1)
+        lin_convs = [nn.Conv2d(c, 1, 1, bias=False) for c in _TAP_CHANNELS]
+        for lc in lin_convs:
+            with torch.no_grad():
+                lc.weight.abs_()  # lpips lin weights are non-negative
+            assert lc.weight.requires_grad  # live Parameter, like real lpips
+
+        class _FakeLPIPS:
+            def __init__(self, net="vgg"):
+                assert net == "vgg"
+                for k, lc in enumerate(lin_convs):
+                    setattr(
+                        self, f"lin{k}",
+                        types.SimpleNamespace(model=[nn.Dropout(), lc]),
+                    )
+
+        lp = types.ModuleType("lpips")
+        lp.LPIPS = _FakeLPIPS
+        monkeypatch.setitem(sys.modules, "torchvision", tv)
+        monkeypatch.setitem(sys.modules, "torchvision.models", tv_models)
+        monkeypatch.setitem(sys.modules, "lpips", lp)
+
+        import os
+
+        tools_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        )
+        sys.path.insert(0, tools_dir)
+        try:
+            import convert_lpips_weights
+        finally:
+            sys.path.remove(tools_dir)
+        npz = tmp_path / "lpips_vgg.npz"
+        convert_lpips_weights.main(str(npz))
+        assert npz.exists()
+
+        params = load_lpips_params(npz)
+
+        # torch-side oracle: run the SAME modules with the lpips formula
+        from pixel_heal_thyself_tpu.models import lpips as L
+
+        rng = np.random.default_rng(5)
+        x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+        y = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+        got = np.asarray(lpips_distance(params, jnp.asarray(x), jnp.asarray(y)))
+
+        shift = torch.tensor(L._SHIFT).view(1, 3, 1, 1)
+        scale = torch.tensor(L._SCALE).view(1, 3, 1, 1)
+        tap_idx = {3, 8, 15, 22, 29}
+
+        def vgg_taps(img):
+            h = (img - shift) / scale
+            taps = []
+            for i, layer in enumerate(features):
+                h = layer(h)
+                if i in tap_idx:
+                    taps.append(h)
+            return taps
+
+        def unit_norm(t):
+            return t / (torch.sqrt(torch.sum(t**2, dim=1, keepdim=True)) + 1e-10)
+
+        with torch.no_grad():
+            tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+            ty = torch.from_numpy(y.transpose(0, 3, 1, 2))
+            want = torch.zeros(2)
+            for fa, fb, lc in zip(vgg_taps(tx), vgg_taps(ty), lin_convs):
+                d = (unit_norm(fa) - unit_norm(fb)) ** 2
+                want = want + lc(d).mean((1, 2, 3))
+
+        np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=1e-5)
+
+
 class TestLpips:
     def test_zero_for_identical(self):
         params = random_lpips_params(0)

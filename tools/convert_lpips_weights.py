@@ -31,7 +31,9 @@ def main(out_path: str) -> None:
     with torch.no_grad():
         for k in range(5):
             lin = getattr(net, f"lin{k}")
-            out[f"lin{k}.weight"] = lin.model[1].weight.numpy()
+            # lin weights are live Parameters (requires_grad) — detach
+            # before numpy(); state_dict() tensors above come detached
+            out[f"lin{k}.weight"] = lin.model[1].weight.detach().numpy()
 
     np.savez(out_path, **out)
     print(f"wrote {out_path} ({len(out)} arrays)")
