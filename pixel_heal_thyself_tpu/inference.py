@@ -167,6 +167,35 @@ def denoise_frame_spatial(
     return postprocess_specular(out_log)
 
 
+def denoise_frame_sequence(
+    seq_apply,
+    data: dict[str, np.ndarray],
+    n_devices: int,
+) -> np.ndarray:
+    """Denoise one frame with the raster-scan token sequence sharded over
+    devices (`parallel.sequence.make_seq_sharded_apply`) — the Mamba
+    full-frame path (VERDICT r2 "Promote Mamba to co-equal").
+
+    Unlike the tiled path this computes the EXACT unsharded full-frame
+    result: convs exchange row halos, the SSD chains state across devices.
+    The frame height is edge-padded up to a device multiple; causality
+    means the padded bottom rows cannot influence any real row's scan
+    state, and their conv context matches edge replication, so the crop is
+    exact."""
+    noisy_log = preprocess_specular(data["noisy"]).astype(np.float32)
+    aux = data["aux"].astype(np.float32).copy()
+    aux[..., :3] = preprocess_normal(aux[..., :3])
+
+    h = noisy_log.shape[0]
+    ph = (-h) % n_devices
+    pad = ((0, ph), (0, 0), (0, 0))
+    noisy_p = np.pad(noisy_log, pad, mode="edge")[None]
+    aux_p = np.pad(aux, pad, mode="edge")[None]
+    out = seq_apply(jnp.asarray(noisy_p), jnp.asarray(aux_p))
+    out_log = np.asarray(out, np.float32)[0, :h]
+    return postprocess_specular(out_log)
+
+
 def find_frame_pairs(images_dir: str | Path, noisy_spp: int, gt_spp: int):
     noisy_root = Path(images_dir) / f"{noisy_spp}spp"
     gt_root = Path(images_dir) / f"{gt_spp}spp"
@@ -225,24 +254,45 @@ def run_inference(
 
     mesh = None
     sharded_apply = None
+    seq_apply = None
     if spatial:
         from pixel_heal_thyself_tpu.parallel.mesh import make_mesh
-        from pixel_heal_thyself_tpu.parallel.spatial import make_sharded_apply_rows
 
         mesh = make_mesh(data_axis=len(jax.devices()), model_axis=1)
         # built once: same-shaped frames reuse the compiled program
-        sharded_apply = make_sharded_apply_rows(
-            lambda n, a: model.apply(variables, n, a), mesh, margin,
-        )
-        logger.info(
-            f"[Infer] spatial sharding over {mesh.shape['data']} devices",
-        )
+        if cfg.model.name == "mamba":
+            # Mamba's global raster scan has an unbounded receptive field —
+            # halo-and-crop would be wrong; shard the token sequence with
+            # exact cross-device state chaining instead
+            from pixel_heal_thyself_tpu.parallel.sequence import (
+                make_seq_sharded_apply,
+            )
+
+            seq_apply = make_seq_sharded_apply(model, variables, mesh)
+            logger.info(
+                f"[Infer] sequence sharding over {mesh.shape['data']} devices",
+            )
+        else:
+            from pixel_heal_thyself_tpu.parallel.spatial import (
+                make_sharded_apply_rows,
+            )
+
+            sharded_apply = make_sharded_apply_rows(
+                lambda n, a: model.apply(variables, n, a), mesh, margin,
+            )
+            logger.info(
+                f"[Infer] spatial sharding over {mesh.shape['data']} devices",
+            )
 
     results = []
     for stem, noisy_path, gt_path in find_frame_pairs(images_dir, noisy_spp, gt_spp):
         start = time.time()
         data = preprocess_data(noisy_path, gt_path, scale=scale)
-        if spatial:
+        if spatial and seq_apply is not None:
+            out_lin = denoise_frame_sequence(
+                seq_apply, data, mesh.shape["data"],
+            )
+        elif spatial:
             out_lin = denoise_frame_spatial(
                 sharded_apply, data, mesh, margin=margin,
             )

@@ -153,7 +153,13 @@ class PReLU(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """Conv → optional norm → optional activation (reference conv_block)."""
+    """Conv → optional norm → optional activation (reference conv_block).
+
+    `pad_fn` (static, optional) replaces the local `pad2d` with a custom
+    padding callable `(x, pad, mode) -> padded` — the sequence-sharded
+    Mamba path injects a cross-device row-halo exchange here so every
+    shard's convolution sees its true neighbor rows (parallel/sequence.py).
+    """
 
     features: int
     kernel_size: int
@@ -166,11 +172,13 @@ class ConvBlock(nn.Module):
     use_bias: bool = True
     groups: int = 1
     dtype: Any = jnp.float32
+    pad_fn: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         fan_in = self.kernel_size * self.kernel_size * x.shape[-1] // self.groups
-        x = pad2d(x, self.padding, self.padding_mode)
+        pad = self.pad_fn if self.pad_fn is not None else pad2d
+        x = pad(x, self.padding, self.padding_mode)
         x = Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),

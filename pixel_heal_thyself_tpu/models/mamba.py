@@ -32,7 +32,8 @@ import numpy as np
 
 from pixel_heal_thyself_tpu.models.layers import ConvBlock
 from pixel_heal_thyself_tpu.ops.conv import causal_depthwise_conv1d
-from pixel_heal_thyself_tpu.ops.ssd import ssd_chunked
+from pixel_heal_thyself_tpu.ops.padding import make_row_halo_pad
+from pixel_heal_thyself_tpu.ops.ssd import ssd_chunked, ssd_sharded
 from pixel_heal_thyself_tpu.utils.init import (
     torch_default_bias_init,
     torch_default_kernel_init,
@@ -55,7 +56,14 @@ class RMSNormGated(nn.Module):
 
 
 class Mamba2Layer(nn.Module):
-    """Sequence mixer: [B, L, D] → [B, L, D]."""
+    """Sequence mixer: [B, L, D] → [B, L, D].
+
+    `seq_axis` (static, optional): name of a `shard_map` mesh axis over
+    which the token sequence is sharded contiguously. When set, the causal
+    conv1d receives the previous shard's tail tokens over ICI and the SSD
+    scan chains its state across devices (`ops/ssd.ssd_sharded`), making
+    the sharded layer exactly equal to the unsharded one — the
+    sequence-parallel full-frame inference path (parallel/sequence.py)."""
 
     d_model: int
     d_state: int = 64
@@ -68,6 +76,7 @@ class Mamba2Layer(nn.Module):
     dt_max: float = 0.1
     A_init_range: tuple = (1.0, 16.0)
     dtype: Any = jnp.float32
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -103,9 +112,25 @@ class Mamba2Layer(nn.Module):
             (conv_dim,),
             jnp.float32,
         )
-        xBC = jax.nn.silu(
-            causal_depthwise_conv1d(xBC, conv_w, conv_b),
-        )
+        if self.seq_axis is not None and self.d_conv > 1:
+            # exact cross-shard conv context: previous shard's last k-1
+            # tokens; shard 0 receives zeros from the non-cyclic ppermute —
+            # precisely the global causal zero pad
+            n_sh = jax.lax.axis_size(self.seq_axis)
+            prev_tail = jax.lax.ppermute(
+                xBC[:, -(self.d_conv - 1):],
+                self.seq_axis,
+                [(i, i + 1) for i in range(n_sh - 1)],
+            )
+            xBC = jax.nn.silu(
+                causal_depthwise_conv1d(
+                    xBC, conv_w, conv_b, initial_tokens=prev_tail,
+                ),
+            )
+        else:
+            xBC = jax.nn.silu(
+                causal_depthwise_conv1d(xBC, conv_w, conv_b),
+            )
         x, B, C = jnp.split(
             xBC,
             [d_inner, d_inner + self.ngroups * self.d_state],
@@ -135,7 +160,12 @@ class Mamba2Layer(nn.Module):
         A = -jnp.exp(A_log)
         D = self.param("D", nn.initializers.ones, (nheads,), jnp.float32)
 
-        y = ssd_chunked(
+        ssd = (
+            partial(ssd_sharded, axis_name=self.seq_axis)
+            if self.seq_axis is not None
+            else ssd_chunked
+        )
+        y = ssd(
             x.reshape(b, l, nheads, self.headdim),
             dt.astype(self.dtype),
             A.astype(self.dtype),
@@ -175,7 +205,9 @@ class LayerNormTorch(nn.Module):
 
 
 class MambaBlock(nn.Module):
-    """LayerNorm → raster-scan Mamba2 → residual → residual conv FFN."""
+    """LayerNorm → raster-scan Mamba2 → residual → residual conv FFN.
+
+    `seq_axis`/`pad_fn`: sequence-sharded mode (see MambaDenoiserNet)."""
 
     ch: int
     d_state: int = 64
@@ -184,6 +216,8 @@ class MambaBlock(nn.Module):
     headdim: int = 64
     padding_mode: str = "reflect"
     dtype: Any = jnp.float32
+    seq_axis: str | None = None
+    pad_fn: Any = None
 
     @nn.compact
     def __call__(self, noisy: jnp.ndarray, aux: jnp.ndarray):
@@ -197,16 +231,19 @@ class MambaBlock(nn.Module):
             expand=self.expansion,
             headdim=self.headdim,
             dtype=self.dtype,
+            seq_axis=self.seq_axis,
             name="mamba",
         )(normed)
         noisy = noisy + mixed.reshape(b, h, w, c)
         ff = ConvBlock(
             self.ch, kernel_size=3, padding=1,
             padding_mode=self.padding_mode, act_type="relu", dtype=self.dtype,
+            pad_fn=self.pad_fn,
         )(noisy)
         ff = ConvBlock(
             self.ch, kernel_size=3, padding=1,
             padding_mode=self.padding_mode, act_type="relu", dtype=self.dtype,
+            pad_fn=self.pad_fn,
         )(ff)
         return noisy + ff, aux
 
@@ -241,6 +278,7 @@ class MambaDenoiserNet(nn.Module):
     padding_mode: str = "reflect"
     enc_ch: int = 256
     dtype: Any = jnp.float32
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(self, noisy: jnp.ndarray, aux: jnp.ndarray) -> jnp.ndarray:
@@ -248,7 +286,15 @@ class MambaDenoiserNet(nn.Module):
         x_in = noisy
         noisy = noisy.astype(self.dtype)
         aux = aux.astype(self.dtype)
-        cb = partial(ConvBlock, dtype=self.dtype)
+        # sequence-sharded mode: every padded conv exchanges row halos with
+        # neighbor devices instead of locally padding shard-interior edges,
+        # so the rows-sharded full-frame apply is exactly the unsharded one
+        pad_fn = (
+            make_row_halo_pad(self.seq_axis)
+            if self.seq_axis is not None
+            else None
+        )
+        cb = partial(ConvBlock, dtype=self.dtype, pad_fn=pad_fn)
 
         n1 = cb(self.enc_ch, kernel_size=1, act_type="relu")(noisy)
         n3 = cb(
@@ -263,8 +309,23 @@ class MambaDenoiserNet(nn.Module):
             jnp.concatenate([n1, n3, n5], axis=-1),
         )
 
-        pe = positional_encoding_2d(self.base_ch, out.shape[1], out.shape[2])
-        out = out + jnp.asarray(pe, self.dtype)[None]
+        if self.seq_axis is not None:
+            # each shard adds its slice of the GLOBAL positional encoding
+            n_sh = jax.lax.axis_size(self.seq_axis)
+            local_h = out.shape[1]
+            pe = positional_encoding_2d(
+                self.base_ch, local_h * n_sh, out.shape[2],
+            )
+            pe = jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(pe, self.dtype),
+                jax.lax.axis_index(self.seq_axis) * local_h,
+                local_h,
+                axis=0,
+            )
+            out = out + pe[None]
+        else:
+            pe = positional_encoding_2d(self.base_ch, out.shape[1], out.shape[2])
+            out = out + jnp.asarray(pe, self.dtype)[None]
 
         a1 = cb(self.enc_ch, kernel_size=1, act_type="relu")(aux)
         a3 = cb(
@@ -292,6 +353,8 @@ class MambaDenoiserNet(nn.Module):
                 headdim=self.headdim,
                 padding_mode=self.padding_mode,
                 dtype=self.dtype,
+                seq_axis=self.seq_axis,
+                pad_fn=pad_fn,
             )(out, a)
 
         out = cb(

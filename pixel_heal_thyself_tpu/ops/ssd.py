@@ -33,11 +33,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def ssd_naive(x, dt, A, B, C, D=None):
+def ssd_naive(x, dt, A, B, C, D=None, initial_state=None, return_final_state=False):
     """Time-step scan oracle.
 
     x: [b, l, h, p], dt: [b, l, h], A: [h], B, C: [b, l, g, n] with the
-    g (groups) dim broadcast over heads (h % g == 0). Returns [b, l, h, p].
+    g (groups) dim broadcast over heads (h % g == 0). Returns [b, l, h, p]
+    (plus the final [b, h, n, p] state when `return_final_state`).
+    `initial_state`: [b, h, n, p] carried-in state (sequence chaining).
     """
     b, l, h, p = x.shape
     g, n = B.shape[2], B.shape[3]
@@ -55,8 +57,12 @@ def ssd_naive(x, dt, A, B, C, D=None):
         return state, y
 
     Bx = jnp.einsum("blhn,blhp->blhnp", Bh, xdt)
-    state0 = jnp.zeros((b, h, n, p), x.dtype)
-    _, ys = jax.lax.scan(
+    state0 = (
+        jnp.zeros((b, h, n, p), x.dtype)
+        if initial_state is None
+        else initial_state.astype(x.dtype)
+    )
+    final, ys = jax.lax.scan(
         step,
         state0,
         (dA.transpose(1, 0, 2), Bx.transpose(1, 0, 2, 3, 4), Ch.transpose(1, 0, 2, 3)),
@@ -64,6 +70,8 @@ def ssd_naive(x, dt, A, B, C, D=None):
     y = ys.transpose(1, 0, 2, 3)  # [b,l,h,p]
     if D is not None:
         y = y + x * D[None, None, :, None]
+    if return_final_state:
+        return y, final
     return y
 
 
@@ -75,27 +83,16 @@ def _group_size(nc: int, target: int) -> int:
     return 1
 
 
-@partial(jax.jit, static_argnames=("chunk", "group"))
-def ssd_chunked(x, dt, A, B, C, D=None, chunk: int = 128, group: int = 8):
-    """Chunked matmul-form SSD. Same signature/semantics as `ssd_naive`.
+def _ssd_stacks(x, dt, A, B, C, chunk: int):
+    """Shared chunk-stack prologue: pad to a chunk multiple, rearrange to
+    chunked [nc, b, g(, rep), q, ·] stacks, and compute the batched
+    per-chunk summaries (cumulative log-decay `cum`, decayed input
+    projection `S`, chunk decay `a`) that both the output pass and the
+    sequence-parallel state summary consume.
 
-    TPU structure (v3 — decoupled carry, group-shared scores): the
-    inter-chunk state recurrence is the only sequential dependency, and it
-    is tiny ([b,h,n,p] elementwise per chunk), so it runs as its own cheap
-    unrolled `lax.scan` over per-chunk state summaries computed in one
-    fully batched MXU pass. The heavy intra-chunk attention-like matmuls
-    then process `group` chunks per scan iteration with no carried state at
-    all — v1 ran them one chunk at a time inside the carry scan,
-    serializing ~L/chunk small matmul packets behind a scalar dependency
-    (measured 13 ms → see BASELINE.md). Grouping bounds the materialized
-    [g,b,h,q,q] decay masks (a fully batched formulation wanted ~2 GB at
-    16k tokens); group bodies rematerialize in the backward pass.
-
-    B/C are shared across the `h/g` heads of each group, so the C·Bᵀ
-    scores matmul runs once per group (not per head) and the B/C stacks
-    are never head-expanded — only the per-head decay-masked y matmuls
-    see the head axis. Contractions accumulate in fp32; chunk length q
-    rides the sublane axis with n/p on the 128-lane axis.
+    Chunk padding is benign for state chaining: padded tail tokens have
+    dt == 0 → dA == 0 → decay 1 and zero state increment, so the final
+    state is unaffected.
     """
     b, l, h, p = x.shape
     g, n = B.shape[2], B.shape[3]
@@ -131,18 +128,44 @@ def ssd_chunked(x, dt, A, B, C, D=None, chunk: int = 128, group: int = 8):
         preferred_element_type=jnp.float32,
     ).astype(in_dtype)                             # [nc,b,g,rep,n,p]
     a = jnp.exp(cum[..., -1]).astype(in_dtype)     # [nc,b,g,rep]
+    dims = dict(b=b, l=l, h=h, p=p, g=g, n=n, rep=rep, q=q, lp=lp, nc=nc)
+    return dict(Bc=Bc, Cc=Cc, xdt=xdt, cum=cum, S=S, a=a, dims=dims)
 
-    # ---- inter-chunk carry: cheap elementwise scan ---------------------
+
+def _ssd_carry(stacks, initial_state, with_outputs: bool):
+    """Inter-chunk state recurrence — a cheap elementwise `lax.scan` over
+    the per-chunk summaries. Returns (final_state, per-chunk incoming
+    states or None)."""
+    d = stacks["dims"]
+    in_dtype = stacks["S"].dtype
+
     def carry_body(state, inputs):
         a_c, S_c = inputs
-        return a_c[..., None, None] * state + S_c, state
+        nxt = a_c[..., None, None] * state + S_c
+        return nxt, (state if with_outputs else None)
 
-    state0 = jnp.zeros((b, g, rep, n, p), in_dtype)
-    _, st_in = jax.lax.scan(
-        carry_body, state0, (a, S), unroll=8,
-    )                                              # [nc,b,g,rep,n,p]
+    state0 = (
+        # zeros derived from the summaries (not jnp.zeros) so the carry
+        # init carries the same shard_map varying-axes type as the inputs
+        stacks["S"][0] * 0
+        if initial_state is None
+        else initial_state.reshape(
+            d["b"], d["g"], d["rep"], d["n"], d["p"],
+        ).astype(in_dtype)
+    )
+    return jax.lax.scan(
+        carry_body, state0, (stacks["a"], stacks["S"]), unroll=8,
+    )
 
-    # ---- intra-chunk + state readout, `gs` chunks per iteration --------
+
+def _ssd_outputs(stacks, st_in, x, D, group: int):
+    """Intra-chunk attention-like matmuls + carried-state readout,
+    `group` chunks per scan iteration."""
+    d = stacks["dims"]
+    b, l, h, p, q, nc, lp = (
+        d["b"], d["l"], d["h"], d["p"], d["q"], d["nc"], d["lp"],
+    )
+    in_dtype = stacks["xdt"].dtype
     gs = _group_size(nc, group)
     causal = jnp.tril(jnp.ones((q, q), bool))
 
@@ -176,10 +199,15 @@ def ssd_chunked(x, dt, A, B, C, D=None, chunk: int = 128, group: int = 8):
         return t.reshape(nc // gs, gs, *t.shape[1:])
 
     _, ys = jax.lax.scan(
-        group_body, None, (grp(Bc), grp(Cc), grp(xdt), grp(cum), grp(st_in)),
+        group_body,
+        None,
+        (
+            grp(stacks["Bc"]), grp(stacks["Cc"]), grp(stacks["xdt"]),
+            grp(stacks["cum"]), grp(st_in),
+        ),
     )                                              # [nc/gs,gs,b,g,rep,q,p]
     y = (
-        ys.reshape(nc, b, g, rep, q, p)
+        ys.reshape(nc, b, d["g"], d["rep"], q, p)
         .transpose(1, 0, 4, 2, 3, 5)               # [b,nc,q,g,rep,p]
         .reshape(b, lp, h, p)
     )
@@ -187,6 +215,106 @@ def ssd_chunked(x, dt, A, B, C, D=None, chunk: int = 128, group: int = 8):
     if D is not None:
         y = y + x[:, :l] * D[None, None, :, None].astype(in_dtype)
     return y
+
+
+@partial(jax.jit, static_argnames=("chunk", "group", "return_final_state"))
+def ssd_chunked(
+    x, dt, A, B, C, D=None, chunk: int = 128, group: int = 8,
+    initial_state=None, return_final_state: bool = False,
+):
+    """Chunked matmul-form SSD. Same signature/semantics as `ssd_naive`.
+
+    `initial_state` ([b, h, n, p]) seeds the inter-chunk carry and
+    `return_final_state` also returns the post-sequence state — together
+    they let callers chain the scan across sequence shards (the
+    sequence-parallel full-frame path, `ssd_sharded`).
+
+    TPU structure (v3 — decoupled carry, group-shared scores): the
+    inter-chunk state recurrence is the only sequential dependency, and it
+    is tiny ([b,h,n,p] elementwise per chunk), so it runs as its own cheap
+    unrolled `lax.scan` over per-chunk state summaries computed in one
+    fully batched MXU pass (`_ssd_stacks`). The heavy intra-chunk
+    attention-like matmuls then process `group` chunks per scan iteration
+    with no carried state at all — v1 ran them one chunk at a time inside
+    the carry scan, serializing ~L/chunk small matmul packets behind a
+    scalar dependency (measured 13 ms → see BASELINE.md). Grouping bounds
+    the materialized [g,b,h,q,q] decay masks (a fully batched formulation
+    wanted ~2 GB at 16k tokens); group bodies rematerialize in the
+    backward pass.
+
+    B/C are shared across the `h/g` heads of each group, so the C·Bᵀ
+    scores matmul runs once per group (not per head) and the B/C stacks
+    are never head-expanded — only the per-head decay-masked y matmuls
+    see the head axis. Contractions accumulate in fp32; chunk length q
+    rides the sublane axis with n/p on the 128-lane axis.
+    """
+    stacks = _ssd_stacks(x, dt, A, B, C, chunk)
+    final_state, st_in = _ssd_carry(stacks, initial_state, with_outputs=True)
+    y = _ssd_outputs(stacks, st_in, x, D, group)
+    if return_final_state:
+        d = stacks["dims"]
+        return y, final_state.reshape(d["b"], d["h"], d["n"], d["p"])
+    return y
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def ssd_state_summary(x, dt, A, B, C, chunk: int = 128):
+    """Per-shard state-transformer summary: (total decay [b, h], final
+    state from zero init [b, h, n, p]).
+
+    The SSD recurrence over a token strip is the affine map
+    `state_out = a_tot·state_in + S_fin`; this computes (a_tot, S_fin)
+    without the heavy intra-chunk output matmuls, so the sequence-parallel
+    path (`ssd_sharded`) can all-gather the per-shard summaries cheaply.
+    """
+    stacks = _ssd_stacks(x, dt, A, B, C, chunk)
+    final, _ = _ssd_carry(stacks, None, with_outputs=False)
+    d = stacks["dims"]
+    # total decay: product of per-chunk decays, in log space for stability
+    a_tot = jnp.exp(
+        jnp.sum(stacks["cum"][..., -1], axis=0),
+    ).reshape(d["b"], d["h"]).astype(x.dtype)
+    return a_tot, final.reshape(d["b"], d["h"], d["n"], d["p"])
+
+
+def ssd_sharded(x, dt, A, B, C, D=None, *, axis_name: str,
+                chunk: int = 128, group: int = 8):
+    """Sequence-sharded SSD for use inside `shard_map` (SURVEY §5's
+    Ulysses/ring analog; ROADMAP "Mamba full-frame inference").
+
+    Each device holds a contiguous strip of the global raster sequence.
+    Per-device state summaries (the affine `state → a·state + S` map of
+    each strip) are all-gathered over ICI, every device computes its
+    exclusive prefix locally (device count is tiny; the summaries are
+    [b,h] + [b,h,n,p] — a few hundred KB), and the local chunk scan is
+    then seeded with the carried-in state. The chunk stacks are computed
+    once and shared between the summary and the output pass. Exactly equal
+    to the unsharded scan (fp reordering aside) — golden-tested vs
+    `ssd_naive` in tests/test_sequence_sharded.py.
+    """
+    stacks = _ssd_stacks(x, dt, A, B, C, chunk)
+    d = stacks["dims"]
+    S_fin, _ = _ssd_carry(stacks, None, with_outputs=False)
+    S_fin = S_fin.reshape(d["b"], d["h"], d["n"], d["p"])
+    a_tot = jnp.exp(
+        jnp.sum(stacks["cum"][..., -1], axis=0),
+    ).reshape(d["b"], d["h"]).astype(x.dtype)
+
+    a_all = jax.lax.all_gather(a_tot, axis_name)   # [ndev, b, h]
+    S_all = jax.lax.all_gather(S_fin, axis_name)   # [ndev, b, h, n, p]
+    ndev = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    init = jnp.zeros_like(S_fin)
+    for e in range(ndev):
+        # left-fold of shards strictly before this one:
+        # init ∘ shard_e  =  a_e·init + S_e
+        take = e < idx
+        init = jnp.where(
+            take, a_all[e][..., None, None] * init + S_all[e], init,
+        )
+    init = init.reshape(d["b"], d["g"], d["rep"], d["n"], d["p"])
+    _, st_in = _ssd_carry(stacks, init, with_outputs=True)
+    return _ssd_outputs(stacks, st_in, x, D, group)
 
 
 def _ssd_fwd_kernel(

@@ -1,0 +1,183 @@
+"""Sequence-sharded Mamba: the sharded SSD scan, the cross-device conv1d
+context, and the full rows-sharded MambaDenoiserNet apply must be exactly
+equal (up to fp reordering) to their unsharded counterparts — VERDICT r2
+"Promote Mamba to co-equal". Runs on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from pixel_heal_thyself_tpu.models.mamba import MambaDenoiserNet
+from pixel_heal_thyself_tpu.ops.conv import causal_depthwise_conv1d
+from pixel_heal_thyself_tpu.ops.ssd import (
+    ssd_chunked,
+    ssd_naive,
+    ssd_sharded,
+    ssd_state_summary,
+)
+from pixel_heal_thyself_tpu.parallel.mesh import make_mesh
+from pixel_heal_thyself_tpu.parallel.sequence import make_seq_sharded_apply
+
+
+def _ssd_inputs(seed, b=2, l=64, h=4, p=8, g=2, n=8):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((b, l, h, p)).astype(np.float32)
+    dt = rng.uniform(0.01, 0.2, (b, l, h)).astype(np.float32)
+    A = -rng.uniform(0.5, 4.0, (h,)).astype(np.float32)
+    B = rng.standard_normal((b, l, g, n)).astype(np.float32)
+    C = rng.standard_normal((b, l, g, n)).astype(np.float32)
+    D = rng.standard_normal((h,)).astype(np.float32)
+    return map(jnp.asarray, (x, dt, A, B, C, D))
+
+
+class TestStateChaining:
+    def test_chunked_final_state_matches_naive(self):
+        x, dt, A, B, C, D = _ssd_inputs(0)
+        y_ref, st_ref = ssd_naive(x, dt, A, B, C, D, return_final_state=True)
+        y, st = ssd_chunked(
+            x, dt, A, B, C, D, chunk=16, return_final_state=True,
+        )
+        np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(st, st_ref, rtol=2e-4, atol=2e-4)
+
+    def test_final_state_unaffected_by_chunk_padding(self):
+        # l=40 with chunk=16 pads 8 tail tokens; dt pads to 0 so the state
+        # must be identical to the unpadded scan
+        x, dt, A, B, C, D = _ssd_inputs(1, l=40)
+        _, st_ref = ssd_naive(x, dt, A, B, C, D, return_final_state=True)
+        _, st = ssd_chunked(
+            x, dt, A, B, C, D, chunk=16, return_final_state=True,
+        )
+        np.testing.assert_allclose(st, st_ref, rtol=2e-4, atol=2e-4)
+
+    def test_initial_state_chaining_equals_full_scan(self):
+        """Splitting a sequence in two and chaining the state through
+        `initial_state` must equal the single full scan."""
+        x, dt, A, B, C, D = _ssd_inputs(2)
+        y_ref = ssd_naive(x, dt, A, B, C, D)
+        half = x.shape[1] // 2
+        y1, st = ssd_chunked(
+            x[:, :half], dt[:, :half], A, B[:, :half], C[:, :half], D,
+            chunk=16, return_final_state=True,
+        )
+        y2 = ssd_chunked(
+            x[:, half:], dt[:, half:], A, B[:, half:], C[:, half:], D,
+            chunk=16, initial_state=st,
+        )
+        got = jnp.concatenate([y1, y2], axis=1)
+        np.testing.assert_allclose(got, y_ref, rtol=2e-4, atol=2e-4)
+
+    def test_state_summary_is_affine_map(self):
+        """summary (a_tot, S_fin): running the scan from any init state s0
+        must end at a_tot·s0 + S_fin."""
+        x, dt, A, B, C, D = _ssd_inputs(3)
+        a_tot, S_fin = ssd_state_summary(x, dt, A, B, C, chunk=16)
+        rng = np.random.default_rng(9)
+        s0 = jnp.asarray(
+            rng.standard_normal(S_fin.shape).astype(np.float32),
+        )
+        _, st = ssd_chunked(
+            x, dt, A, B, C, D, chunk=16,
+            initial_state=s0, return_final_state=True,
+        )
+        want = a_tot[..., None, None] * s0 + S_fin
+        np.testing.assert_allclose(st, want, rtol=2e-4, atol=2e-4)
+
+
+class TestShardedSSD:
+    def _run_sharded(self, ndev, chunk, seed=4, **kw):
+        x, dt, A, B, C, D = _ssd_inputs(seed, **kw)
+        mesh = make_mesh(
+            data_axis=ndev, model_axis=1, devices=jax.devices()[:ndev],
+        )
+
+        def f(x_s, dt_s, B_s, C_s):
+            return ssd_sharded(
+                x_s, dt_s, A, B_s, C_s, D, axis_name="data", chunk=chunk,
+            )
+
+        sx = P(None, "data", None, None)
+        sdt = P(None, "data", None)
+        fn = jax.jit(
+            jax.shard_map(
+                f, mesh=mesh, in_specs=(sx, sdt, sx, sx), out_specs=sx,
+            ),
+        )
+        got = np.asarray(fn(x, dt, B, C))
+        want = np.asarray(ssd_naive(x, dt, A, B, C, D))
+        return got, want
+
+    def test_matches_naive_4dev(self):
+        got, want = self._run_sharded(ndev=4, chunk=8)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_matches_naive_8dev_with_chunk_padding(self):
+        # per-shard l = 88/8 = 11, chunk 8 → padded tail inside each shard
+        got, want = self._run_sharded(ndev=8, chunk=8, seed=5, l=88)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestShardedConv1d:
+    def test_cross_shard_context(self):
+        """conv1d with the previous shard's tail as initial tokens equals
+        the unsharded causal conv."""
+        rng = np.random.default_rng(6)
+        b, l, c, k = 2, 32, 6, 4
+        x = jnp.asarray(rng.standard_normal((b, l, c)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((k, c)).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+        want = causal_depthwise_conv1d(x, w, bias)
+        half = l // 2
+        y1 = causal_depthwise_conv1d(x[:, :half], w, bias)
+        y2 = causal_depthwise_conv1d(
+            x[:, half:], w, bias, initial_tokens=x[:, half - (k - 1): half],
+        )
+        got = jnp.concatenate([y1, y2], axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestSeqShardedMamba:
+    def test_full_model_matches_unsharded(self):
+        """The rows-sharded MambaDenoiserNet apply (halo-exchanged convs,
+        offset positional encoding, cross-device conv1d context, chained
+        SSD state) must reproduce the unsharded full-frame apply."""
+        model = MambaDenoiserNet(
+            base_ch=16, enc_ch=16, num_blocks=2, d_state=8, headdim=8,
+            expansion=2, num_gcp=1,
+        )
+        rng = np.random.default_rng(7)
+        h, w = 32, 8  # 4 devices × 8-row strips → 64 tokens per shard
+        noisy = jnp.asarray(
+            rng.uniform(0.05, 2.0, (1, h, w, 3)).astype(np.float32),
+        )
+        aux = jnp.asarray(
+            rng.uniform(-1, 1, (1, h, w, 7)).astype(np.float32),
+        )
+        params = model.init(jax.random.PRNGKey(0), noisy, aux)
+        want = np.asarray(jax.jit(model.apply)(params, noisy, aux))
+
+        mesh = make_mesh(
+            data_axis=4, model_axis=1, devices=jax.devices()[:4],
+        )
+        apply = make_seq_sharded_apply(model, params, mesh)
+        got = np.asarray(apply(noisy, aux))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_non_divisible_height_raises(self):
+        import pytest
+
+        model = MambaDenoiserNet(
+            base_ch=16, enc_ch=16, num_blocks=1, d_state=8, headdim=8,
+            expansion=2, num_gcp=0,
+        )
+        noisy = jnp.zeros((1, 16, 8, 3))
+        aux = jnp.zeros((1, 16, 8, 7))
+        params = model.init(jax.random.PRNGKey(0), noisy, aux)
+        mesh = make_mesh(
+            data_axis=4, model_axis=1, devices=jax.devices()[:4],
+        )
+        apply = make_seq_sharded_apply(model, params, mesh)
+        with pytest.raises(ValueError, match="divisible"):
+            apply(jnp.zeros((1, 18, 8, 3)), jnp.zeros((1, 18, 8, 7)))
