@@ -84,8 +84,8 @@ def main() -> None:
         gstate, dstate, metrics = step_fn(gstate, dstate, batch, rng)
     jax.block_until_ready(metrics["g_loss"])
     elapsed = time.perf_counter() - start
-
     patches_per_sec = BATCH * ITERS / elapsed
+
     print(
         json.dumps(
             {
@@ -93,9 +93,63 @@ def main() -> None:
                 "value": round(patches_per_sec, 2),
                 "unit": "patches/sec/chip",
                 "vs_baseline": round(patches_per_sec / REF_A100_PATCHES_PER_SEC, 3),
+                "mamba_train_patches_per_sec": _bench_mamba(),
             },
         ),
     )
+
+
+def _bench_mamba() -> float:
+    """Full GAN train step on the co-equal Mamba denoiser (reference
+    `pht/train.py:27-30` treats it as a peer model; same trainer loop).
+    Batch 4 @ 128² — the 16k-token raster scan halves the feasible batch."""
+    from pixel_heal_thyself_tpu.config import LossesConfig
+    from pixel_heal_thyself_tpu.models.discriminators import DiscriminatorVGG
+    from pixel_heal_thyself_tpu.models.mamba import MambaDenoiserNet
+    from pixel_heal_thyself_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    b = 4
+    g_model = MambaDenoiserNet(
+        dtype=jnp.bfloat16, num_gcp=0, height=PATCH, width=PATCH,
+    )
+    d_model = DiscriminatorVGG(input_size=PATCH, dtype=jnp.bfloat16)
+    g_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
+    d_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
+
+    noisy0 = jnp.zeros((b, PATCH, PATCH, 3))
+    aux0 = jnp.zeros((b, PATCH, PATCH, 7))
+    gstate = init_train_state(g_model, g_tx, jax.random.PRNGKey(0), noisy0, aux0)
+    dstate = init_train_state(d_model, d_tx, jax.random.PRNGKey(1), noisy0)
+    step_fn = make_train_step(
+        g_model, d_model, LossesConfig(), False, g_tx, d_tx,
+    )
+
+    rng_np = np.random.default_rng(1)
+    batch = {
+        "noisy": jnp.asarray(
+            np.abs(rng_np.standard_normal((b, PATCH, PATCH, 3))).astype(np.float32),
+        ),
+        "gt": jnp.asarray(
+            np.abs(rng_np.standard_normal((b, PATCH, PATCH, 3))).astype(np.float32),
+        ),
+        "aux": jnp.asarray(
+            rng_np.standard_normal((b, PATCH, PATCH, 7)).astype(np.float32),
+        ),
+    }
+    rng = jax.random.PRNGKey(9)
+
+    for _ in range(WARMUP):
+        gstate, dstate, metrics = step_fn(gstate, dstate, batch, rng)
+    jax.block_until_ready(metrics["g_loss"])
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        gstate, dstate, metrics = step_fn(gstate, dstate, batch, rng)
+    jax.block_until_ready(metrics["g_loss"])
+    return round(b * ITERS / (time.perf_counter() - start), 2)
 
 
 if __name__ == "__main__":

@@ -79,6 +79,25 @@ class FiLM(nn.Module):
         return gamma * x + beta
 
 
+class _ProjKernel(nn.Module):
+    """Bias-free 1×1 projection kernel holder.
+
+    Declares the same `kernel` param (shape [1, 1, Cin, Cout], kaiming
+    fan-out, fp32) at the same tree path a `Conv` submodule would, so
+    checkpoints and golden tests are unchanged — but exposes the weight to
+    the caller instead of applying it, letting the Pallas path fold all
+    three q/k/v projections into the fused attention op."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int) -> jnp.ndarray:
+        return self.param(
+            "kernel", kaiming_normal_fan_out, (1, 1, cin, self.features),
+            jnp.float32,
+        )
+
+
 class AFGSA(nn.Module):
     """Auxiliary-feature-guided self-attention module."""
 
@@ -90,6 +109,12 @@ class AFGSA(nn.Module):
     curve_order: CurveOrder = CurveOrder.RASTER
     use_film: bool = False
     use_pallas: bool = False
+    # fold the q/k/v projections into the attention op (padded backward
+    # matmuls). Measured NEUTRAL on the prod bench (72.8 vs 73.2 p/s:
+    # pads −2.1 ms, convs +1.5 ms, loop fusions +0.7 ms — XLA already
+    # fuses the unfused formulation this well; BASELINE.md negative
+    # results), so off by default; kept as a tested opt-in variant.
+    fold_qkv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -109,23 +134,39 @@ class AFGSA(nn.Module):
                 dtype=self.dtype,
             )(jnp.concatenate([noisy, aux], axis=-1))
 
-        def proj(name, x):
-            return Conv(
-                ch,
-                (1, 1),
-                use_bias=self.use_bias,
-                kernel_init=kaiming_normal_fan_out,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name=name,
-            )(x)
-
-        q = proj("q_conv", n_aux)
-        k = proj("k_conv", n_aux)
-        v = proj("v_conv", noisy)
+        # bias-free 1×1 projection kernels (reference model.py:473-485),
+        # declared via _ProjKernel so the Pallas path can fold the
+        # projections into the fused attention op (aligned backward
+        # matmuls; see ops/attention_pallas.qkv_block_halo_attention_pallas)
+        assert not self.use_bias, "reference AFGSA projections are bias-free"
+        wq = _ProjKernel(ch, name="q_conv")(n_aux.shape[-1])
+        wk = _ProjKernel(ch, name="k_conv")(n_aux.shape[-1])
+        wv = _ProjKernel(ch, name="v_conv")(noisy.shape[-1])
 
         rel_h = self.param("rel_h", normal_unit, (window, head_ch // 2), jnp.float32)
         rel_w = self.param("rel_w", normal_unit, (window, head_ch // 2), jnp.float32)
+
+        if self.use_pallas and self.fold_qkv:
+            from pixel_heal_thyself_tpu.ops.attention_pallas import (
+                qkv_block_halo_attention_pallas,
+            )
+
+            return qkv_block_halo_attention_pallas(
+                n_aux, noisy, wq[0, 0], wk[0, 0], wv[0, 0], rel_h, rel_w,
+                self.block_size, self.halo_size, self.num_heads,
+            )
+
+        def proj(x, w):
+            # layers.Conv's plain 1×1 path (bias-free matmul)
+            return jnp.dot(
+                x.astype(self.dtype),
+                w[0, 0].astype(self.dtype),
+                preferred_element_type=self.dtype,
+            )
+
+        q = proj(n_aux, wq)
+        k = proj(n_aux, wk)
+        v = proj(noisy, wv)
 
         order = make_curve_indices(self.block_size, self.curve_order)
         inv = inverse_permutation(order)

@@ -509,9 +509,18 @@ def _bwd_kernel(
 
 
 @partial(jax.jit, static_argnames=("block_size", "halo_size", "num_heads"))
-def _attention_bwd_impl(q, kp, vp, rel_h, rel_w, do, *, block_size, halo_size, num_heads):
-    """Backward kernel dispatch. kp/vp are the W-halo-padded tensors saved
-    by the forward (one padding shared by both passes)."""
+def _attention_bwd_padded(q, kp, vp, rel_h, rel_w, do, *, block_size, halo_size, num_heads):
+    """Backward kernel dispatch returning dk/dv as W-halo-PADDED images
+    ([b, H, Wp, C], matching kp/vp). kp/vp are the padded tensors saved by
+    the forward (one padding shared by both passes).
+
+    Keeping the outputs padded lets the fused-qkv path run every
+    consuming matmul (dW and the d-input projections) on tile-aligned
+    tensors: the halo columns of the *inputs* (n_auxp/noisyp) are zero, so
+    they cancel the halo dk/dv contributions in dW exactly, and the one
+    remaining unpad slice happens on the projected d-input AFTER its
+    aligned matmul — the profiler measured the slice-fused matmuls of the
+    unpadded formulation at 29.5 TFLOP/s vs ~190 for aligned ones."""
     b, hgt, wdt, c = q.shape
     bs, halo = block_size, halo_size
     assert bs % 8 == 0, "Pallas path requires 8-aligned blocks (bs % 8 == 0)"
@@ -572,15 +581,25 @@ def _attention_bwd_impl(q, kp, vp, rel_h, rel_w, do, *, block_size, halo_size, n
         ),
     )(q, kp, vp, bias, dof)
 
-    dk = dk_img[:, :, halo : halo + wdt].astype(kp.dtype)
-    dv = dv_img[:, :, halo : halo + wdt].astype(vp.dtype)
-
     dbias = jnp.sum(dbias_b, axis=0)  # [window·wwin, hd]
     half = hd // 2
     dbias = dbias.reshape(window, wwin, hd)[:, :window]
     drel_h = jnp.sum(dbias[..., :half], axis=1).astype(rel_h.dtype)
     drel_w = jnp.sum(dbias[..., half:], axis=0).astype(rel_w.dtype)
-    return dq.astype(q.dtype), dk, dv, drel_h, drel_w
+    return dq.astype(q.dtype), dk_img, dv_img, drel_h, drel_w
+
+
+def _attention_bwd_impl(q, kp, vp, rel_h, rel_w, do, *, block_size, halo_size, num_heads):
+    """Backward with dk/dv unpadded to the image width (the plain q/k/v
+    entry point's contract)."""
+    wdt = q.shape[2]
+    dq, dk_img, dv_img, drel_h, drel_w = _attention_bwd_padded(
+        q, kp, vp, rel_h, rel_w, do,
+        block_size=block_size, halo_size=halo_size, num_heads=num_heads,
+    )
+    dk = dk_img[:, :, halo_size : halo_size + wdt].astype(kp.dtype)
+    dv = dv_img[:, :, halo_size : halo_size + wdt].astype(vp.dtype)
+    return dq, dk, dv, drel_h, drel_w
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -612,6 +631,93 @@ def _core_bwd(block_size, halo_size, num_heads, res, do):
 
 
 _attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def qkv_block_halo_attention_pallas(
+    n_aux, noisy, wq, wk, wv, rel_h, rel_w, block_size, halo_size, num_heads,
+):
+    """Block-halo attention with the q/k/v 1×1 projections folded into the
+    op (the ROADMAP "qkv folding" structural move, done at the XLA level).
+
+    Instead of projecting q/k/v as separate convs and W-halo-padding k/v
+    afterwards, the *inputs* are padded once (`n_auxp`/`noisyp`) and k/v
+    are projected FROM the padded tensors (the pad columns are zero, and
+    0·W = 0, so `kp ≡ _pad_w(k)` exactly). The payoff is in the backward:
+    every matmul touching dk/dv runs on tile-aligned padded tensors —
+    dWk = n_auxpᵀ·dkp needs no unpad at all (zero input columns cancel
+    the halo grads), and the d-input slice happens after its aligned
+    projection matmul instead of being fused into it (profiler: 29.5 vs
+    ~190 TFLOP/s). Weights are [C, C] (the 1×1 conv kernels at [0, 0]).
+    """
+    out, _ = _qkv_core_fwd(
+        n_aux, noisy, wq, wk, wv, rel_h, rel_w,
+        block_size, halo_size, num_heads,
+    )
+    return out
+
+
+def _qkv_project(x, w):
+    # mirrors layers.Conv's plain 1×1 path (bf16 MXU matmul)
+    return jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+
+
+def _qkv_core_fwd(
+    n_aux, noisy, wq, wk, wv, rel_h, rel_w, block_size, halo_size, num_heads,
+):
+    _, hgt, wdt, _ = n_aux.shape
+    if hgt % block_size != 0 or wdt % block_size != 0:
+        # same loud guard as the block_halo_attention dispatcher
+        # (reference model.py:469-471)
+        raise ValueError(
+            f"feature map H×W = {hgt}×{wdt} must be divisible by "
+            f"block_size={block_size}; pad or tile the input "
+            f"(inference.py tiles full frames to block-aligned sizes)",
+        )
+    n_auxp = _pad_w(n_aux, halo_size)
+    noisyp = _pad_w(noisy, halo_size)
+    q = _qkv_project(n_aux, wq)
+    kp = _qkv_project(n_auxp, wk)
+    vp = _qkv_project(noisyp, wv)
+    out = _attention_fwd(
+        q, kp, vp, rel_h, rel_w,
+        block_size=block_size, halo_size=halo_size, num_heads=num_heads,
+    )
+    return out, (n_aux, n_auxp, noisyp, q, kp, vp, wq, wk, wv, rel_h, rel_w)
+
+
+def _qkv_core_bwd(block_size, halo_size, num_heads, res, do):
+    n_aux, n_auxp, noisyp, q, kp, vp, wq, wk, wv, rel_h, rel_w = res
+    w = n_aux.shape[2]
+    dq, dkp, dvp, drel_h, drel_w = _attention_bwd_padded(
+        q, kp, vp, rel_h, rel_w, do,
+        block_size=block_size, halo_size=halo_size, num_heads=num_heads,
+    )
+    f32 = jnp.float32
+    # weight grads on the PADDED tensors: halo columns of n_auxp/noisyp are
+    # zero, so the halo dk/dv gradients cancel exactly — no unpad slice
+    dwq = jnp.einsum("bhwc,bhwd->cd", n_aux, dq, preferred_element_type=f32)
+    dwk = jnp.einsum("bhwc,bhwd->cd", n_auxp, dkp, preferred_element_type=f32)
+    dwv = jnp.einsum("bhwc,bhwd->cd", noisyp, dvp, preferred_element_type=f32)
+    # input grads: project on the aligned padded width, THEN unpad — the
+    # slice is a cheap standalone pad-transpose instead of crippling the
+    # matmul's tiling
+    dnap = _qkv_project(dkp, wk.T)
+    dnop = _qkv_project(dvp, wv.T)
+    dn_aux = _qkv_project(dq, wq.T) + dnap[:, :, halo_size : halo_size + w]
+    dnoisy = dnop[:, :, halo_size : halo_size + w]
+    return (
+        dn_aux,
+        dnoisy,
+        dwq.astype(wq.dtype),
+        dwk.astype(wk.dtype),
+        dwv.astype(wv.dtype),
+        drel_h,
+        drel_w,
+    )
+
+
+qkv_block_halo_attention_pallas.defvjp(_qkv_core_fwd, _qkv_core_bwd)
 
 
 def block_halo_attention_pallas(

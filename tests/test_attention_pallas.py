@@ -84,3 +84,48 @@ def test_pallas_grads_match_xla_interpret(P):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3, err_msg=name,
         )
+
+
+@pytest.mark.slow
+def test_fused_qkv_matches_unfused_interpret():
+    """The fused-qkv op (projections folded, padded backward matmuls) must
+    match the unfused composition — projections as plain matmuls feeding
+    the XLA attention — in value and in every gradient."""
+    from pixel_heal_thyself_tpu.ops.attention_pallas import (
+        qkv_block_halo_attention_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    B, P, C, heads = 1, 16, 128, 2
+    n_aux = jnp.asarray(rng.standard_normal((B, P, P, C)), jnp.float32)
+    noisy = jnp.asarray(rng.standard_normal((B, P, P, C)), jnp.float32)
+    wq = jnp.asarray(rng.standard_normal((C, C)) * 0.05, jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((C, C)) * 0.05, jnp.float32)
+    wv = jnp.asarray(rng.standard_normal((C, C)) * 0.05, jnp.float32)
+    hd = C // heads
+    rel_h = jnp.asarray(rng.standard_normal((14, hd // 2)), jnp.float32)
+    rel_w = jnp.asarray(rng.standard_normal((14, hd // 2)), jnp.float32)
+
+    def loss_unfused(args):
+        na, no, q_, k_, v_, rh, rw = args
+        o = _xla(na @ q_, na @ k_, no @ v_, rh, rw, heads=heads)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_fused(args):
+        o = qkv_block_halo_attention_pallas(*args, 8, 3, heads)
+        return jnp.sum(o * jnp.cos(o))
+
+    args = (n_aux, noisy, wq, wk, wv, rel_h, rel_w)
+    want_v = loss_unfused(args)
+    want = jax.grad(loss_unfused)(args)
+    with pltpu.force_tpu_interpret_mode():
+        got_v = loss_fused(args)
+        got = jax.grad(loss_fused)(args)
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), atol=5e-3, rtol=1e-3,
+    )
+    names = ["dn_aux", "dnoisy", "dwq", "dwk", "dwv", "drel_h", "drel_w"]
+    for name, a, b in zip(names, want, got):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-3, rtol=2e-3, err_msg=name,
+        )

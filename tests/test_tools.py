@@ -97,11 +97,45 @@ class TestInferenceAnalysis:
         assert np.isclose(r["ssim"], 0.95)
 
         out = tmp_path / "out"
-        ria.main([str(base)], [str(var)], "variant", str(out), False)
+        ria.main([str(base)], [("variant", [str(var)])], str(out), False)
         assert (out / "inference_data.csv").exists()
         assert (out / "psnr_by_dataset.png").exists()
         summary = (out / "summary.txt").read_text()
         assert "variant vs baseline" in summary
+        # per-dataset clamped-axis figures (reference :262-288)
+        assert (out / "dataset_fftle0_metrics.png").exists()
+        assert (out / "dataset_heldout_metrics.png").exists()
+        # markdown report (reference :974-1105)
+        report = (out / "report.md").read_text()
+        assert "## Overall Model Comparison" in report
+        assert "| Dataset | baseline | variant | Diff | % Change | Better? |" in report
+        assert "fftle0*" in report and "heldout†" in report
+        assert "## Per-Dataset Statistics" in report
+        assert "↑" in report  # better-arrow present for the improved variant
+
+    def test_multi_variant_ordering(self, tmp_path):
+        """Several variants keep their given order in tables and plots."""
+        base = tmp_path / "b"
+        v1 = tmp_path / "v1"
+        v2 = tmp_path / "v2"
+        for d, p in [(base, 30.0), (v1, 31.0), (v2, 29.0)]:
+            self._write_eval(d, "fftle0", 0.002, p, 0.05)
+        out = tmp_path / "out"
+        ria.main(
+            [str(base)], [("zeta", [str(v1)]), ("alpha", [str(v2)])],
+            str(out), False,
+        )
+        report = (out / "report.md").read_text()
+        # command-line order (zeta before alpha), not alphabetical
+        assert report.index("| Dataset | baseline | zeta |") < report.index(
+            "| Dataset | baseline | alpha |",
+        )
+        # the regressed variant gets the worse-arrow on PSNR
+        alpha_row = [
+            ln for ln in report.splitlines()
+            if ln.startswith("| fftle0*") and "29." in ln
+        ]
+        assert alpha_row and "↓" in alpha_row[0]
 
     def test_dataset_labels(self):
         assert ria.dataset_label("fftle0") == "fftle0*"

@@ -4,13 +4,28 @@ Capability parity with reference `tools/runs_inference_analysis.py`
 (1282 LoC): globs `**/*_evaluation.txt`, regex-parses RMSE / PSNR / 1-SSIM
 (`:34-36`), groups by dataset (filename prefix), marks training datasets
 (fftle0/1, taccturb0/1) with `*` and held-out ones with `†`
-(`:1153-1164`), and emits per-dataset bar comparisons with improvement
-percentages, box plots, a CSV, and a text summary.
+(`:1153-1164`), and emits the reference's artifact set:
+
+- per-dataset metric comparison figures with the reference's clamped,
+  metric-aware axes (RMSE in ×10⁻⁴ with a ±3e-4 margin, PSNR floored at
+  30 dB, SSIM clamped to [0.9, 1.0] — `:262-288`);
+- cross-dataset bar comparisons with improvement-percentage annotations;
+- box plots per metric;
+- a markdown report (`report.md`) with the data-availability table, the
+  overall per-dataset comparison tables (Diff / % Change / better-arrow
+  columns, `:974-1105`), and per-dataset statistics
+  (mean/median/std/min/max per model);
+- the raw rows as CSV and a text summary.
+
+Multiple variants are supported and keep their command-line order in every
+plot and table (reference multi-variant ordering).
 
 Usage:
     python tools/runs_inference_analysis.py \
-        --baseline-dirs DIR [DIR ...] --variant-dirs DIR [DIR ...] \
-        [--variant-name NAME] [--output-dir DIR] [--discard-outliers]
+        --baseline-dirs DIR [DIR ...] \
+        [--variant NAME=DIR[,DIR...] ...] \
+        [--variant-dirs DIR [DIR ...] --variant-name NAME] \
+        [--output-dir DIR] [--discard-outliers]
 """
 
 from __future__ import annotations
@@ -86,9 +101,10 @@ def iqr_filter(df: pd.DataFrame, metric: str = "psnr") -> pd.DataFrame:
     return pd.concat(keep, ignore_index=True)
 
 
-def plot_box(df: pd.DataFrame, metric: str, out_dir: Path) -> None:
+def plot_box(
+    df: pd.DataFrame, metric: str, models: list[str], out_dir: Path,
+) -> None:
     fig, ax = plt.subplots(figsize=(10, 6))
-    models = sorted(df["model"].unique())
     data = [df.loc[df["model"] == m, metric] for m in models]
     ax.boxplot(data, tick_labels=models)
     ax.set_title(f"{metric.upper()} distribution")
@@ -96,10 +112,14 @@ def plot_box(df: pd.DataFrame, metric: str, out_dir: Path) -> None:
     plt.close(fig)
 
 
-def plot_dataset_bars(df: pd.DataFrame, metric: str, out_dir: Path) -> None:
+def plot_dataset_bars(
+    df: pd.DataFrame, metric: str, models: list[str], out_dir: Path,
+) -> None:
     pivot = df.groupby(["dataset", "model"])[metric].mean().unstack()
     if pivot.shape[1] < 2:
         return
+    # command-line model ordering, not alphabetical (reference ordering)
+    pivot = pivot[[m for m in models if m in pivot.columns]]
     fig, ax = plt.subplots(figsize=(12, 6))
     labels = [dataset_label(d) for d in pivot.index]
     x = np.arange(len(pivot.index))
@@ -126,11 +146,156 @@ def plot_dataset_bars(df: pd.DataFrame, metric: str, out_dir: Path) -> None:
     plt.close(fig)
 
 
-def write_summary(df: pd.DataFrame, out_dir: Path) -> None:
+def _clamped_axis(metric: str, vals: np.ndarray) -> tuple[float, float]:
+    """Reference `runs_inference_analysis.py:262-288` axis clamping: keep
+    the interesting quality band in frame regardless of outliers."""
+    lo, hi = float(np.min(vals)), float(np.max(vals))
+    if metric == "rmse":
+        return max(0.0, lo - 3e-4), hi + 3e-4
+    if metric == "psnr":
+        return max(30.0, lo - 1.0), hi + 1.0
+    return max(0.9, lo - 0.01), min(1.0, hi + 0.01)
+
+
+def plot_dataset_metrics(
+    df: pd.DataFrame, dataset: str, models: list[str], out_dir: Path,
+) -> None:
+    """Per-dataset three-panel comparison (one panel per metric) with the
+    reference's clamped metric-aware axes; RMSE ticks in ×10⁻⁴."""
+    sub = df[df["dataset"] == dataset]
+    if sub.empty:
+        return
+    fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+    for i, metric in enumerate(METRICS):
+        ax = axes[i]
+        means = [sub.loc[sub["model"] == m, metric].mean() for m in models]
+        errs = [sub.loc[sub["model"] == m, metric].std() for m in models]
+        x = np.arange(len(models))
+        ax.bar(x, means, 0.6, yerr=errs, capsize=4)
+        vals = sub[metric].to_numpy()
+        ax.set_ylim(*_clamped_axis(metric, vals))
+        if metric == "rmse":
+            ax.yaxis.set_major_formatter(
+                plt.FuncFormatter(lambda v, _: f"{v * 1e4:.2f}"),
+            )
+            ax.set_ylabel(r"RMSE ($\times 10^{-4}$)")
+        else:
+            ax.set_ylabel(metric.upper())
+        ax.set_xticks(x)
+        ax.set_xticklabels(models, rotation=0)
+        ax.set_title(metric.upper())
+    fig.suptitle(f"Dataset: {dataset_label(dataset)} — model comparison")
+    fig.tight_layout()
+    fig.savefig(
+        out_dir / f"dataset_{dataset}_metrics.png", dpi=150, bbox_inches="tight",
+    )
+    plt.close(fig)
+
+
+_UP, _DOWN, _EQ = "↑", "↓", "↔"
+
+
+def write_markdown_report(
+    df: pd.DataFrame, models: list[str], out_dir: Path, discard_outliers: bool,
+) -> None:
+    """Reference-style markdown report (`:974-1105` + per-dataset
+    summaries `:836-971`): data availability, overall per-dataset
+    comparison tables with Diff / % Change / better-arrow, and
+    per-dataset statistics."""
+    datasets = sorted(df["dataset"].unique())
+    base = models[0]
+    lines = [
+        "# Inference Results Analysis Report",
+        "",
+        "## Configuration",
+        "",
+        f"- Discard outliers: {discard_outliers}",
+        f"- Models (in order): {', '.join(models)}",
+        "",
+        "## Summary of Available Data",
+        "",
+        "| Dataset | " + " | ".join(f"{m} files" for m in models) + " |",
+        "|" + "---|" * (len(models) + 1),
+    ]
+    for d in datasets:
+        counts = [
+            str(len(df[(df["model"] == m) & (df["dataset"] == d)]))
+            for m in models
+        ]
+        lines.append(f"| {dataset_label(d)} | " + " | ".join(counts) + " |")
+
+    lines += ["", "## Overall Model Comparison", ""]
+    for metric in METRICS:
+        better_arrow = _UP if HIGHER_BETTER[metric] else _DOWN
+        fmt = (lambda v: f"{v:.6f}") if metric == "rmse" else (lambda v: f"{v:.3f}")
+        lines += [
+            f"### {metric.upper()} — average by dataset "
+            f"({'higher' if HIGHER_BETTER[metric] else 'lower'} is better "
+            f"{better_arrow})",
+            "",
+        ]
+        for var in models[1:]:
+            lines += [
+                f"| Dataset | {base} | {var} | Diff | % Change | Better? |",
+                "|---|---|---|---|---|---|",
+            ]
+            for d in datasets:
+                b = df[(df["model"] == base) & (df["dataset"] == d)][metric]
+                v = df[(df["model"] == var) & (df["dataset"] == d)][metric]
+                if b.empty or v.empty:
+                    lines.append(
+                        f"| {dataset_label(d)} | N/A | N/A | N/A | N/A | N/A |",
+                    )
+                    continue
+                bm, vm = b.mean(), v.mean()
+                diff = vm - bm
+                sign = 1 if HIGHER_BETTER[metric] else -1
+                pct = sign * 100 * diff / abs(bm) if bm else 0.0
+                if diff == 0:
+                    arrow = _EQ
+                elif (diff > 0) == HIGHER_BETTER[metric]:
+                    arrow = better_arrow
+                else:
+                    arrow = _DOWN if HIGHER_BETTER[metric] else _UP
+                lines.append(
+                    f"| {dataset_label(d)} | {fmt(bm)} | {fmt(vm)} | "
+                    f"{fmt(diff)} | {pct:+.2f}% | {arrow} |",
+                )
+            lines.append("")
+
+    lines += ["## Per-Dataset Statistics", ""]
+    for d in datasets:
+        lines += [f"### {dataset_label(d)}", ""]
+        for metric in METRICS:
+            fmt = (
+                (lambda v: f"{v:.6f}")
+                if metric == "rmse"
+                else (lambda v: f"{v:.4f}")
+            )
+            lines += [
+                f"**{metric.upper()}**",
+                "",
+                "| Model | Mean | Median | Std | Min | Max |",
+                "|---|---|---|---|---|---|",
+            ]
+            for m in models:
+                vals = df[(df["model"] == m) & (df["dataset"] == d)][metric]
+                if vals.empty:
+                    lines.append(f"| {m} | N/A | N/A | N/A | N/A | N/A |")
+                    continue
+                lines.append(
+                    f"| {m} | {fmt(vals.mean())} | {fmt(vals.median())} | "
+                    f"{fmt(vals.std() if len(vals) > 1 else 0.0)} | "
+                    f"{fmt(vals.min())} | {fmt(vals.max())} |",
+                )
+            lines.append("")
+    (out_dir / "report.md").write_text("\n".join(lines) + "\n")
+
+
+def write_summary(df: pd.DataFrame, models: list[str], out_dir: Path) -> None:
     lines = ["# Inference analysis summary", ""]
     agg = df.groupby(["model", "dataset"])[METRICS].mean()
     lines.append(agg.to_string(float_format=lambda v: f"{v:.6f}"))
-    models = sorted(df["model"].unique())
     if len(models) >= 2:
         base, var = models[0], models[-1]
         lines += ["", f"## {var} vs {base} (mean per metric)", ""]
@@ -145,39 +310,66 @@ def write_summary(df: pd.DataFrame, out_dir: Path) -> None:
     (out_dir / "summary.txt").write_text("\n".join(lines) + "\n")
 
 
-def main(baseline_dirs, variant_dirs, variant_name, output_dir, discard_outliers):
+def main(
+    baseline_dirs,
+    variants: list[tuple[str, list[str]]],
+    output_dir,
+    discard_outliers,
+):
+    """`variants`: ordered (name, dirs) pairs — the order is preserved in
+    every plot and table (reference multi-variant ordering)."""
     frames = [collect(baseline_dirs, "baseline")]
-    if variant_dirs:
-        frames.append(collect(variant_dirs, variant_name))
+    models = ["baseline"]
+    for name, dirs in variants:
+        frames.append(collect(dirs, name))
+        models.append(name)
     df = pd.concat(frames, ignore_index=True)
     if df.empty:
         raise SystemExit("No evaluation files found")
     if discard_outliers:
         df = iqr_filter(df)
+    models = [m for m in models if (df["model"] == m).any()]
     out_dir = Path(output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     df.to_csv(out_dir / "inference_data.csv", index=False)
     for m in METRICS:
-        plot_box(df, m, out_dir)
-        plot_dataset_bars(df, m, out_dir)
-    write_summary(df, out_dir)
+        plot_box(df, m, models, out_dir)
+        plot_dataset_bars(df, m, models, out_dir)
+    for d in sorted(df["dataset"].unique()):
+        plot_dataset_metrics(df, d, models, out_dir)
+    write_summary(df, models, out_dir)
+    write_markdown_report(df, models, out_dir, discard_outliers)
     print(f"Wrote inference analysis to {out_dir}")
 
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(
-        description="Compare inference evaluation results baseline vs variant",
+        description="Compare inference evaluation results baseline vs variants",
     )
     parser.add_argument("--baseline-dirs", nargs="+", required=True)
+    parser.add_argument(
+        "--variant",
+        action="append",
+        default=[],
+        metavar="NAME=DIR[,DIR...]",
+        help="named variant with its result dirs; repeatable, order kept",
+    )
     parser.add_argument("--variant-dirs", nargs="*", default=[])
     parser.add_argument("--variant-name", default="variant")
     parser.add_argument("--output-dir", default="inference_analysis")
     parser.add_argument("--discard-outliers", action="store_true")
     args = parser.parse_args()
+    variant_list: list[tuple[str, list[str]]] = []
+    if args.variant_dirs:  # legacy single-variant flags
+        variant_list.append((args.variant_name, args.variant_dirs))
+    for spec in args.variant:
+        name, _, dirs = spec.partition("=")
+        if not dirs:
+            parser.error(f"--variant expects NAME=DIR[,DIR...], got {spec!r}")
+        variant_list.append((name, dirs.split(",")))
     main(
         args.baseline_dirs,
-        args.variant_dirs,
-        args.variant_name,
+        variant_list,
         args.output_dir,
         args.discard_outliers,
     )
