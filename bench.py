@@ -16,6 +16,7 @@ is vs_baseline ≥ 5.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -29,7 +30,10 @@ enable_compilation_cache()
 REF_A100_PATCHES_PER_SEC = 40.0  # derived in BASELINE.md, see module docstring
 
 PATCH = 128
-BATCH = 8
+# The headline metric is the reference-parity prod config (batch 8).
+# PHT_BENCH_BATCH exists only for the BASELINE.md batch-scaling A/B —
+# batch ≥16 changes optimization dynamics, so it is never the headline.
+BATCH = int(os.environ.get("PHT_BENCH_BATCH", "8"))
 WARMUP = 3
 ITERS = 20
 

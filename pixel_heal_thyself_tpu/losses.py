@@ -10,7 +10,8 @@ Behavioral spec: reference `pht/models/losses.py` —
   differentiated — the double-backward composes under jit.
 - `ra_hinge_gan_loss` — relativistic-average hinge over multi-scale patch
   logits (:266-281),
-- `ssim_loss` — MS-SSIM on inputs normalized by the per-pixel channel max
+- `ssim_loss` — kornia-style mixed MS-SSIM + Gaussian-L1 (Zhao et al.,
+  compensation 200) on inputs normalized by the per-pixel channel max
   of the target, clamped ≥1 (:248-263),
 - `tone_mapping_loss`, `bce_*` (:187-221) — present-for-parity extras,
 - `wdiv_gradient_penalty` (:60-100) — Wasserstein-divergence GP.
@@ -23,7 +24,7 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-from pixel_heal_thyself_tpu.ops.msssim import ms_ssim_loss
+from pixel_heal_thyself_tpu.ops.msssim import ms_ssim_mix_loss
 
 
 def l1_loss(x: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -131,10 +132,12 @@ def ra_hinge_gan_loss(
 
 
 def ssim_loss(x: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """MS-SSIM loss on log-radiance, normalized by the target's per-pixel
-    channel max clamped to ≥1 (reference :255-263, NCHW dim=1 → NHWC -1)."""
+    """Reference SSIMLoss (`losses.py:248-263`): kornia MS_SSIMLoss — the
+    Zhao-et-al mixed MS-SSIM + Gaussian-L1 loss with compensation 200, NOT
+    pooled Wang MS-SSIM — on log-radiance normalized by the target's
+    per-pixel channel max clamped to ≥1 (NCHW dim=1 → NHWC -1)."""
     scale = jnp.maximum(jnp.max(target, axis=-1, keepdims=True), 1.0)
-    return ms_ssim_loss(x / scale, target / scale)
+    return ms_ssim_mix_loss(x / scale, target / scale)
 
 
 def tone_mapping_loss(x: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

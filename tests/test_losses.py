@@ -120,6 +120,57 @@ class TestMsSsim:
         g = jax.grad(lambda a: ssim_loss(a, x))(x * 0.5)
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_mix_loss_matches_torch_oracle(self):
+        """ms_ssim_mix_loss vs an independent torch implementation of the
+        kornia-documented algorithm (Zhao et al. mixed MS-SSIM + Gaussian
+        L1: sigmas 0.5..8 at full res, filter 33/pad 16 zero-padded,
+        alpha=0.025, compensation=200)."""
+        import torch
+        import torch.nn.functional as F
+
+        from pixel_heal_thyself_tpu.ops.msssim import ms_ssim_mix_loss
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+        y = np.clip(x + rng.normal(scale=0.1, size=x.shape), 0, 1).astype(np.float32)
+
+        got = float(ms_ssim_mix_loss(jnp.asarray(x), jnp.asarray(y)))
+
+        sigmas = (0.5, 1.0, 2.0, 4.0, 8.0)
+        size, pad = 33, 16
+        c1, c2 = 0.01**2, 0.03**2
+        coords = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+
+        def gauss(sigma):
+            g = np.exp(-(coords**2) / (2 * sigma**2))
+            g /= g.sum()
+            return torch.tensor(
+                np.outer(g, g).astype(np.float32),
+            )[None, None].repeat(3, 1, 1, 1)  # [C,1,k,k] depthwise
+
+        tx = torch.tensor(x).permute(0, 3, 1, 2)
+        ty = torch.tensor(y).permute(0, 3, 1, 2)
+        pics = None
+        lum_last = None
+        for sigma in sigmas:
+            w = gauss(sigma)
+            conv = lambda t: F.conv2d(t, w, groups=3, padding=pad)
+            mx, my = conv(tx), conv(ty)
+            sx2 = conv(tx * tx) - mx * mx
+            sy2 = conv(ty * ty) - my * my
+            sxy = conv(tx * ty) - mx * my
+            lum = (2 * mx * my + c1) / (mx * mx + my * my + c1)
+            cs = (2 * sxy + c2) / (sx2 + sy2 + c2)
+            csp = cs.prod(dim=1)
+            pics = csp if pics is None else pics * csp
+            lum_last = lum
+        loss_ms = 1.0 - lum_last.prod(dim=1) * pics
+        gl1 = F.conv2d(
+            (tx - ty).abs(), gauss(sigmas[-1]), groups=3, padding=pad,
+        ).mean(dim=1)
+        want = float((200.0 * (0.025 * loss_ms + 0.975 * gl1)).mean())
+        assert np.isclose(got, want, rtol=1e-4), (got, want)
+
 
 def test_tone_mapping_loss():
     a = jnp.array([[1.0]]); b = jnp.array([[3.0]])
