@@ -47,6 +47,9 @@ class PatchesConfig:
 class DataConfig:
     images: ImagesConfig = field(default_factory=ImagesConfig)
     patches: PatchesConfig = field(default_factory=PatchesConfig)
+    # input pipeline: "native" (thread-prefetch h5 reader) or "grain"
+    # (Grain-backed, optional multi-process workers; single-host only)
+    loader: str = "native"
 
 
 @dataclass
@@ -101,6 +104,11 @@ class TrainerConfig:
     precision: str = "bf16"  # compute dtype for conv/attention: bf16 | fp32
     prefetch_batches: int = 2  # host→device prefetch depth
     num_workers: int = 4  # loader reader threads (reference used 7 procs)
+    # validation forward batch (reference ran val at batch 1,
+    # base_trainer.py:536-547; per-sample metrics are computed on host so
+    # any batch yields identical values — batching amortizes the per-call
+    # dispatch latency that dominates batch-1 val on TPU)
+    val_batch_size: int = 8
     use_pallas: bool = True  # fused attention kernel (TPU backends only)
     profile_dir: str = ""  # write a jax.profiler trace of early steps here
 

@@ -232,6 +232,30 @@ class BaseTrainer:
             )
 
             host_bounds = host_batch_bounds(self.cfg.trainer.batch_size)
+        if self.cfg.data.loader == "grain":
+            from pixel_heal_thyself_tpu.data.grain_loader import GrainLoader
+
+            train_loader = GrainLoader(
+                train_ds,
+                batch_size=self.cfg.trainer.batch_size,
+                shuffle=True,
+                seed=self.cfg.seed if self.deterministic else None,
+                workers=self.cfg.trainer.num_workers,
+                drop_last=dp > 1,
+                device=batch_sharding(self.mesh),
+            )
+            val_loader = GrainLoader(
+                val_ds,
+                batch_size=max(1, self.cfg.trainer.val_batch_size),
+                shuffle=False,
+                device=replicated(self.mesh),
+            )
+            return train_loader, val_loader, len(train_ds), len(val_ds)
+        if self.cfg.data.loader != "native":
+            raise ValueError(
+                f"Unknown data.loader: {self.cfg.data.loader!r} "
+                "(expected 'native' or 'grain')",
+            )
         train_loader = PrefetchLoader(
             train_ds,
             batch_size=self.cfg.trainer.batch_size,
@@ -246,7 +270,10 @@ class BaseTrainer:
             host_bounds=host_bounds,
         )
         val_loader = PrefetchLoader(
-            val_ds, batch_size=1, shuffle=False, prefetch=2,
+            val_ds,
+            batch_size=max(1, self.cfg.trainer.val_batch_size),
+            shuffle=False,
+            prefetch=2,
             device=replicated(self.mesh),
         )
         return train_loader, val_loader, len(train_ds), len(val_ds)
@@ -472,7 +499,12 @@ class BaseTrainer:
 
         avg_psnr = avg_ssim = avg_mrse = 0.0
         start = time.time()
-        for i_batch, batch in enumerate(val_loader):
+        # val runs batched (trainer.val_batch_size); the metric functions
+        # batch-SUM 4-d inputs (reference quirk, metrics.py), and image
+        # panels are keyed by global sample index, so any batch size yields
+        # the reference's batch-1 values and artifact set exactly
+        sample_base = 0
+        for batch in val_loader:
             output, noisy, gt = eval_fn(gstate.params, batch)
             output_lin = postprocess_specular(np.asarray(output, np.float64))
             gt_lin = np.asarray(gt, np.float64)
@@ -480,10 +512,15 @@ class BaseTrainer:
             output_255 = tensor2img(np.asarray(output), post_spec=True)
             gt_255 = tensor2img(gt_lin)
 
-            if self.is_main and i_batch % save_img_interval == 0:
-                save_img_group(
-                    current_save_path, i_batch, noisy_255, output_255, gt_255,
-                )
+            if self.is_main:
+                for j in range(output_255.shape[0]):
+                    idx = sample_base + j
+                    if idx % save_img_interval == 0:
+                        save_img_group(
+                            current_save_path, idx,
+                            noisy_255[j], output_255[j], gt_255[j],
+                        )
+            sample_base += output_255.shape[0]
 
             avg_mrse += calculate_rmse(output_lin, gt_lin)
             avg_psnr += calculate_psnr(output_255, gt_255)

@@ -43,6 +43,47 @@ class TestMetricsQuirks:
         assert img[0, 0, 0] == 0  # negatives clamp, no NaN cast
 
 
+def test_val_batch_size_invariance(tmp_path, monkeypatch):
+    """Batched validation (trainer.val_batch_size) yields byte-identical
+    evaluation.txt lines and the same panel set as the reference's batch-1
+    loop — the metrics batch-sum and panels key on global sample index."""
+    import os
+
+    from pixel_heal_thyself_tpu.training import trainer as trainer_mod
+
+    monkeypatch.setattr(
+        trainer_mod.checkpoints, "save_checkpoint", lambda *a, **k: None,
+    )
+    rng = np.random.default_rng(3)
+    n, h = 7, 16
+    noisy = rng.random((n, h, h, 3)).astype(np.float32) * 2.0
+    gt = rng.random((n, h, h, 3)).astype(np.float32) * 2.0
+
+    def loader(bs):
+        for i in range(0, n, bs):
+            yield {"noisy": noisy[i : i + bs], "gt": gt[i : i + bs]}
+
+    def eval_fn(params, batch):
+        return batch["noisy"] * 0.9, batch["noisy"], batch["gt"]
+
+    t = trainer_mod.BaseTrainer.__new__(trainer_mod.BaseTrainer)
+    t.is_main = True
+    gstate = type("S", (), {"params": None})()
+    results = {}
+    for bs in (1, 3):
+        root = tmp_path / f"bs{bs}"
+        root.mkdir()
+        t._validate_and_save(
+            0, gstate, None, eval_fn, loader(bs), n, str(root), 3,
+        )
+        results[bs] = (
+            (root / "evaluation.txt").read_text(),
+            sorted(os.listdir(root / "model_epoch1")),
+        )
+    assert results[1] == results[3]
+    assert results[1][1] == ["0.png", "3.png", "6.png"]
+
+
 @pytest.mark.slow
 def test_ci_train_end_to_end(tmp_cwd):
     """The minimum end-to-end slice (SURVEY.md §7 stage 5)."""
