@@ -75,6 +75,44 @@ class TestRunsAnalysis:
         summary = (out / "summary.txt").read_text()
         assert "% difference vs baseline" in summary
         assert "variant" in summary
+        # reference-format metrics report + all-metrics grid
+        # (generate_metrics_summary / create_summary_plot parity)
+        assert (out / "summary_plot.png").exists()
+        report = (out / "metrics_report.txt").read_text()
+        assert "# Metrics Summary Report" in report
+        assert "## Filter: all" in report
+        assert "### PSNR" in report and "### MRSE" in report
+        assert "baseline" in report and "↑" in report
+        # baseline leads the section: its % Diff column says "baseline"
+        base_line = next(
+            ln for ln in report.splitlines() if ln.startswith("baseline ")
+        )
+        assert "| baseline" in base_line
+
+    def test_report_filters_and_best_performer(self, tmp_path):
+        self._make_run(tmp_path, "run000", 6, 30.0, ["a=1"])
+        self._make_run(tmp_path, "run001", 6, 32.0, ["b=2"])
+        self._make_run(tmp_path, "run002", 6, 28.0, ["c=3"])
+        import yaml
+
+        name_map = tmp_path / "names.yaml"
+        name_map.write_text(
+            yaml.safe_dump({"a=1": "baseline", "b=2": "fast", "c=3": "slow"}),
+        )
+        filters = tmp_path / "filters.yaml"
+        filters.write_text(
+            yaml.safe_dump({"speed": ["baseline", "fast"], "solo": ["slow"]}),
+        )
+        out = tmp_path / "analysis"
+        runs_analysis.main(
+            str(tmp_path), False, str(out), str(name_map), str(filters),
+            tail_epochs=3, best_performer=True,
+        )
+        report = (out / "metrics_report.txt").read_text()
+        assert "## Filter: speed" in report and "## Filter: solo" in report
+        assert "slow" not in report.split("## Filter: speed")[1].split("## Filter:")[0]
+        assert "Best performing configurations:" in report
+        assert "fast: 3/3 epochs" in report  # psnr_base 32 wins every epoch
 
 
 class TestInferenceAnalysis:

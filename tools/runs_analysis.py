@@ -11,10 +11,19 @@ tables against a `baseline` experiment.
 Usage:
     python tools/runs_analysis.py ROOT_FOLDER [--discard-outliers]
         [--output-dir DIR] [--name-map overrides_names.yaml]
+        [--filters filters.yaml] [--tail-epochs N] [--best-performer]
 
 `--name-map` maps sorted-override strings (joined with '||') to human
 experiment names, replacing the reference's hardcoded
-`overrides_to_names_map` (`runs_analysis.py:552-565`).
+`overrides_to_names_map` (`runs_analysis.py:552-565`); `--filters` maps
+report-section names to ordered experiment lists (first = baseline),
+replacing the hardcoded `plot_filters` (`:567-587`). Without `--filters`
+a single section compares every experiment against `baseline` (or the
+first experiment seen). `metrics_report.txt` reproduces the reference's
+`generate_metrics_summary` artifact (`:366-549`): per-metric tail-epoch
+averages with diff / % diff / trend-arrow columns and an optional
+best-performer-per-epoch frequency table; `summary_plot.png` is the
+all-metrics grid (`:300-364`).
 """
 
 from __future__ import annotations
@@ -146,6 +155,129 @@ def plot_metric(df: pd.DataFrame, metric: str, out_dir: Path) -> None:
     plt.close(fig)
 
 
+def create_summary_plot(df: pd.DataFrame, out_dir: Path) -> None:
+    """All-metrics grid figure (reference `runs_analysis.py:300-364`)."""
+    present = [m for m in METRICS if m in df and not df[m].dropna().empty]
+    if not present:
+        return
+    fig, axes = plt.subplots(
+        1, len(present), figsize=(6 * len(present), 5), squeeze=False,
+    )
+    for ax, metric in zip(axes[0], present, strict=True):
+        if sns is not None:
+            sns.lineplot(
+                data=df, x="epoch", y=metric, hue="experiment",
+                errorbar=None, ax=ax, legend=(metric == present[-1]),
+            )
+        else:  # pragma: no cover
+            for name, grp in df.groupby("experiment"):
+                mean = grp.groupby("epoch")[metric].mean()
+                ax.plot(mean.index, mean.values, label=name)
+            if metric == present[-1]:
+                ax.legend()
+        ax.set_title(metric.upper())
+    fig.suptitle("Metrics summary")
+    fig.savefig(out_dir / "summary_plot.png", dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+# report metrics: MRSE lower-is-better, PSNR/SSIM higher-is-better
+# (reference `generate_metrics_summary`, runs_analysis.py:366-549)
+_REPORT_METRICS = [("mrse", "MRSE"), ("psnr", "PSNR"), ("ssim", "SSIM")]
+_UP, _DOWN, _EQ = "↑", "↓", "↔"
+
+
+def write_report(
+    df: pd.DataFrame,
+    filters: dict[str, list[str]],
+    out_file: Path,
+    tail_epochs: int = 5,
+    discard_outliers: bool = False,
+    best_performer: bool = False,
+) -> None:
+    """Reference-format metrics summary report: for each filter section,
+    each metric's average over the last `tail_epochs` evaluated epochs per
+    experiment, compared against the section's first experiment."""
+    lines = [
+        "# Metrics Summary Report",
+        "",
+        "## Config",
+        "=" * 80,
+        "",
+        f"tail_epochs: {tail_epochs}",
+        f"discard_outliers: {discard_outliers}",
+        f"best_performer: {best_performer}",
+        "",
+    ]
+    for section, experiments in filters.items():
+        lines += [f"\n## Filter: {section}", "=" * 80, ""]
+        part = df[df["experiment"].isin(experiments)]
+        for metric, full_name in _REPORT_METRICS:
+            if metric not in part or part[metric].dropna().empty:
+                continue
+            lines += [f"\n### {full_name}", "-" * 80, ""]
+            scored = part.dropna(subset=[metric])
+            epochs = sorted(scored["epoch"].unique())
+            last = epochs[-tail_epochs:]
+            tail = scored[scored["epoch"].isin(last)]
+            avg = {
+                exp: grp[metric].mean()
+                for exp, grp in tail.groupby("experiment")
+            }
+            baseline = experiments[0]
+            lines.append(
+                f"{'Configuration':<30} | {'Avg Value':<10} | "
+                f"{'Diff':<10} | {'% Diff':<10} | {'% Trend':<5}",
+            )
+            lines.append("-" * 80)
+            base_val = avg.get(baseline)
+            for exp in experiments:
+                if exp not in avg or base_val is None:
+                    lines.append(
+                        f"{exp:<30} | {'No data':<10} | {'N/A':<10} | {'N/A':<10}",
+                    )
+                    continue
+                val = avg[exp]
+                diff = val - base_val
+                if metric == "mrse":  # lower is better
+                    pct = (base_val - val) / base_val * 100 if base_val else 0.0
+                    arrow = _DOWN if diff < 0 else (_EQ if diff == 0 else _UP)
+                    val_s, diff_s = f"{val:.6f}", f"{diff:.6f}"
+                else:
+                    pct = (val - base_val) / base_val * 100 if base_val else 0.0
+                    arrow = _UP if diff > 0 else (_EQ if diff == 0 else _DOWN)
+                    val_s, diff_s = f"{val:.3f}", f"{diff:.3f}"
+                pct_s = "baseline" if exp == baseline else f"{pct:.2f}"
+                lines.append(
+                    f"{exp:<30} | {val_s:<10} | {diff_s:<10} | "
+                    f"{pct_s:<10} | {arrow:<5}",
+                )
+            if best_performer and not tail.empty:
+                lines += ["", "Best performing configurations:"]
+                counts: dict[str, int] = defaultdict(int)
+                for epoch in last:
+                    ed = (
+                        tail[tail["epoch"] == epoch]
+                        .groupby("experiment")[metric]
+                        .mean()
+                    )
+                    if ed.empty:
+                        continue
+                    best = ed.idxmin() if metric == "mrse" else ed.idxmax()
+                    counts[best] += 1
+                    prec = ".6f" if metric == "mrse" else ".3f"
+                    lines.append(
+                        f"Epoch {epoch}: {best} "
+                        f"({full_name}: {ed[best]:{prec}})",
+                    )
+                lines += ["", "Configuration frequency as best performer:"]
+                for exp, count in sorted(counts.items(), key=lambda x: -x[1]):
+                    lines.append(f"{exp}: {count}/{len(last)} epochs")
+                lines.append("")
+        lines += ["", ""]
+    out_file.write_text("\n".join(lines) + "\n")
+
+
 def write_summary(df: pd.DataFrame, out_dir: Path) -> None:
     lines = ["# Runs analysis summary", ""]
     final = df.loc[df.groupby("run")["epoch"].idxmax()]
@@ -181,7 +313,15 @@ def write_summary(df: pd.DataFrame, out_dir: Path) -> None:
     (out_dir / "summary.txt").write_text("\n".join(lines) + "\n")
 
 
-def main(root_folder: str, discard_outliers: bool, output_dir: str | None, name_map_file: str | None) -> None:
+def main(
+    root_folder: str,
+    discard_outliers: bool,
+    output_dir: str | None,
+    name_map_file: str | None,
+    filters_file: str | None = None,
+    tail_epochs: int = 5,
+    best_performer: bool = False,
+) -> None:
     name_map: dict[str, str] = {}
     if name_map_file:
         name_map = yaml.safe_load(Path(name_map_file).read_text()) or {}
@@ -212,7 +352,24 @@ def main(root_folder: str, discard_outliers: bool, output_dir: str | None, name_
     df.to_csv(out_dir / "runs_data.csv", index=False)
     for metric in METRICS:
         plot_metric(df, metric, out_dir)
+    create_summary_plot(df, out_dir)
     write_summary(df, out_dir)
+
+    if filters_file:
+        filters = yaml.safe_load(Path(filters_file).read_text()) or {}
+    else:
+        exps = list(df["experiment"].unique())
+        if "baseline" in exps:  # baseline leads its comparison section
+            exps.insert(0, exps.pop(exps.index("baseline")))
+        filters = {"all": exps}
+    write_report(
+        df,
+        filters,
+        out_dir / "metrics_report.txt",
+        tail_epochs=tail_epochs,
+        discard_outliers=discard_outliers,
+        best_performer=best_performer,
+    )
     print(f"Wrote analysis to {out_dir}")
 
 
@@ -224,5 +381,19 @@ if __name__ == "__main__":
     parser.add_argument("--discard-outliers", action="store_true")
     parser.add_argument("--output-dir", default=None)
     parser.add_argument("--name-map", default=None, help="YAML: overrides-key -> name")
+    parser.add_argument(
+        "--filters", default=None,
+        help="YAML: report-section -> ordered experiment list (first = baseline)",
+    )
+    parser.add_argument("--tail-epochs", type=int, default=5)
+    parser.add_argument("--best-performer", action="store_true")
     args = parser.parse_args()
-    main(args.root_folder, args.discard_outliers, args.output_dir, args.name_map)
+    main(
+        args.root_folder,
+        args.discard_outliers,
+        args.output_dir,
+        args.name_map,
+        args.filters,
+        args.tail_epochs,
+        args.best_performer,
+    )
