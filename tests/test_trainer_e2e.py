@@ -126,6 +126,7 @@ def test_ci_train_end_to_end(tmp_cwd):
                 "trainer.epochs=2",
                 "trainer.load_model=true",
                 f"trainer.model_path={out / 'model_epoch1' / 'state'}",
+                "data.loader=grain",  # resume leg drives the Grain feed
             ],
         ),
     )
