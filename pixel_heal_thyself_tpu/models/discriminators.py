@@ -10,6 +10,16 @@ Behavioral spec:
   PatchGAN whose depth keeps the final map ≥4×4, wrapped at three scales
   (x, x/2, x/4 via average pooling) returning a list of patch logits.
 
+- DiscriminatorVGG128 (reference `pht/models/afgsa/model.py:128-261`):
+  fixed-128-input VGG-D classifier — conv0 3×3 unnormed, then four
+  (4×4 s2 same-ch, 3×3 s1 double-ch) pairs capped at base_nf·8 plus a
+  final same-ch pair, Linear(512·4·4→100) → LeakyReLU → Linear(100→1).
+  Dead code in the reference (never instantiated); implemented for full
+  component-inventory coverage.
+- PatchGANDiscriminator (reference `pht/models/mamba/model.py:241-293`):
+  plain BatchNorm 70×70 PatchGAN (4 downs at stride 2,2,2,1 then a 1-ch
+  4×4 head). Also dead code in the reference; implemented for coverage.
+
 Spectral norm carries its power-iteration vector in a mutable 'spectral'
 variable collection; it updates only when the caller marks that collection
 mutable (the train step does, eval doesn't) — torch parity where the u
@@ -89,6 +99,120 @@ class DiscriminatorVGG(nn.Module):
             bias_init=torch_default_bias_init(100),
             dtype=self.dtype,
             param_dtype=jnp.float32,
+        )(x)
+        return x.astype(jnp.float32)
+
+
+class DiscriminatorVGG128(nn.Module):
+    """Fixed-128-input VGG classifier (reference `model.py:128-261`).
+
+    Differs from the parametric DiscriminatorVGG in its channel schedule:
+    the first 4×4 s2 conv keeps base_nf (the parametric one doubles
+    immediately) and the deepest stage repeats base_nf·8 once more.
+    """
+
+    in_nc: int = 3
+    base_nf: int = 64
+    norm_type: str = "batch"
+    act_type: str = "leakyrelu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        x = ConvBlock(
+            self.base_nf,
+            kernel_size=3,
+            padding=1,
+            norm_type=None,
+            act_type=self.act_type,
+            dtype=self.dtype,
+        )(x)
+        # (4×4 s2 same-ch, 3×3 s1 next-ch) pairs: 64→64,128→128,256→256,
+        # 512→512,512 — reference conv1..conv9
+        stage_nf = [
+            self.base_nf,
+            self.base_nf * 2,
+            self.base_nf * 2,
+            self.base_nf * 4,
+            self.base_nf * 4,
+            self.base_nf * 8,
+            self.base_nf * 8,
+            self.base_nf * 8,
+            self.base_nf * 8,
+        ]
+        for i, nf in enumerate(stage_nf):
+            x = ConvBlock(
+                nf,
+                kernel_size=4 if i % 2 == 0 else 3,
+                stride=2 if i % 2 == 0 else 1,
+                padding=1,
+                norm_type=self.norm_type,
+                act_type=self.act_type,
+                dtype=self.dtype,
+            )(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(
+            100,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(x.shape[-1]),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = apply_act(x, "leakyrelu")
+        x = nn.Dense(
+            1,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(100),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        return x.astype(jnp.float32)
+
+
+class PatchGANDiscriminator(nn.Module):
+    """Plain BatchNorm PatchGAN (reference `mamba/model.py:241-293`):
+    4×4 convs at strides 2,2,2,1 (64→128→256→512, BN on all but the
+    first) then an unnormed 1-channel 4×4 s1 head."""
+
+    in_nc: int = 3
+    base_nf: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        x = ConvBlock(
+            self.base_nf,
+            kernel_size=4,
+            stride=2,
+            padding=1,
+            norm_type=None,
+            act_type="leakyrelu",
+            dtype=self.dtype,
+        )(x)
+        for nf, stride in (
+            (self.base_nf * 2, 2),
+            (self.base_nf * 4, 2),
+            (self.base_nf * 8, 1),
+        ):
+            x = ConvBlock(
+                nf,
+                kernel_size=4,
+                stride=stride,
+                padding=1,
+                norm_type="batch",
+                act_type="leakyrelu",
+                dtype=self.dtype,
+            )(x)
+        x = ConvBlock(
+            1,
+            kernel_size=4,
+            stride=1,
+            padding=1,
+            norm_type=None,
+            act_type=None,
+            dtype=self.dtype,
         )(x)
         return x.astype(jnp.float32)
 

@@ -9,8 +9,10 @@ import torch
 from pixel_heal_thyself_tpu.models.afgsa import AFGSANet, FiLM, count_params
 from pixel_heal_thyself_tpu.models.discriminators import (
     DiscriminatorVGG,
+    DiscriminatorVGG128,
     MultiScaleDiscriminator,
     PatchDiscriminator,
+    PatchGANDiscriminator,
     SNConv,
 )
 from pixel_heal_thyself_tpu.models.layers import BatchNorm2d, ConvBlock
@@ -120,6 +122,29 @@ class TestDiscriminators:
         p = d.init(jax.random.PRNGKey(0), x)
         out = d.apply(p, x)
         assert out.shape == (2, 1)
+
+    def test_vgg128_shape_and_param_count(self):
+        """Reference `model.py:128-261` (dead code there, implemented for
+        coverage): conv tower 13,677,120 + BN affine 5,760 + classifier
+        819,401 = 14,502,281 torch parameters."""
+        d = DiscriminatorVGG128()
+        x = jnp.zeros((2, 128, 128, 3))
+        p = d.init(jax.random.PRNGKey(0), x)
+        out = d.apply(p, x, mutable=["batch_stats"])[0]
+        assert out.shape == (2, 1)
+        n = sum(np.prod(l.shape) for l in jax.tree.leaves(p["params"]))
+        assert n == 14_502_281
+
+    def test_patchgan_shape_and_param_count(self):
+        """Reference `mamba/model.py:241-293` (dead code there): strides
+        2,2,2,1 + 1-ch head → 14×14 logit map at 128²; 2,766,529 params."""
+        d = PatchGANDiscriminator()
+        x = jnp.zeros((2, 128, 128, 3))
+        p = d.init(jax.random.PRNGKey(0), x)
+        out = d.apply(p, x, mutable=["batch_stats"])[0]
+        assert out.shape == (2, 14, 14, 1)
+        n = sum(np.prod(l.shape) for l in jax.tree.leaves(p["params"]))
+        assert n == 2_766_529
 
     def test_snconv_normalizes_spectral_norm(self):
         x = jnp.ones((1, 8, 8, 3))
