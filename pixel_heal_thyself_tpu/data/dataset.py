@@ -13,8 +13,10 @@ did on the host run on-device instead, `ops/transforms.py`).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
+import time
 from typing import Iterator
 
 import h5py
@@ -25,20 +27,51 @@ from pixel_heal_thyself_tpu.logger import logger
 
 
 class PatchDataset:
-    """Random-access view over a {noisy, gt, aux} patch store."""
+    """Random-access view over a {noisy, gt, aux} patch store.
+
+    Stores small enough to fit in host RAM (limit via
+    `PHT_DATASET_CACHE_LIMIT_BYTES`, default 16 GiB; `0` disables) are
+    loaded once with sequential full-dataset reads — each gzip chunk is
+    decompressed exactly once — and batches are then pure numpy gathers.
+    Random single-sample h5 reads on legacy auto-chunked stores (chunks
+    spanning dozens of samples) were measured at 646 ms/sample, ~400×
+    slower than the train step they feed.
+    """
 
     KEYS = ("noisy", "gt", "aux")
 
-    def __init__(self, dataset_path: str) -> None:
+    def __init__(
+        self, dataset_path: str, cache_in_ram: bool | None = None
+    ) -> None:
         if not str(dataset_path).endswith(".h5"):
             raise ValueError("dataset_path must be the path to a .h5 file")
         self.dataset_path = str(dataset_path)
         self._files: dict[int, h5py.File] = {}  # one handle per thread
+        self._cache: dict[str, np.ndarray] | None = None
         with h5py.File(self.dataset_path, "r") as f:
             self._len = len(f["aux"])
+            nbytes = sum(f[k].dtype.itemsize * np.prod(f[k].shape) for k in self.KEYS)
         logger.info(
             f"Data set {self.dataset_path} has {self._len} samples in total",
         )
+        if cache_in_ram is None:
+            limit = int(
+                os.environ.get(
+                    "PHT_DATASET_CACHE_LIMIT_BYTES", str(16 * 1024**3)
+                )
+            )
+            cache_in_ram = 0 < nbytes <= limit
+        if cache_in_ram:
+            t0 = time.monotonic()
+            with h5py.File(self.dataset_path, "r") as f:
+                self._cache = {
+                    k: np.ascontiguousarray(f[k][:], np.float32)
+                    for k in self.KEYS
+                }
+            logger.info(
+                f"Cached {nbytes / 1e9:.2f} GB patch store in RAM "
+                f"({time.monotonic() - t0:.1f}s)",
+            )
 
     def __len__(self) -> int:
         return self._len
@@ -62,6 +95,11 @@ class PatchDataset:
 
     def batch(self, indices: np.ndarray) -> dict[str, np.ndarray]:
         """Gather a batch; h5py wants sorted unique indices for fancy reads."""
+        if self._cache is not None:
+            return {
+                key: np.ascontiguousarray(self._cache[key][indices])
+                for key in self.KEYS
+            }
         order = np.argsort(indices, kind="stable")
         sorted_idx = indices[order]
         inv = np.empty_like(order)

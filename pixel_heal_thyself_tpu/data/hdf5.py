@@ -113,12 +113,16 @@ class Hdf5Constructor:
             with h5py.File(path_map[split], "w") as hf:
                 for key, maxshape in shapes.items():
                     data = np.array([c[key] for c in cropped], np.float32)
+                    # one chunk per sample: h5py's auto-chunking picks
+                    # multi-sample spatial tiles (e.g. 46×16×16), making a
+                    # single-sample read decompress ~46× its own bytes —
+                    # measured at 646 ms/sample on the prod store
                     hf.create_dataset(
                         key,
                         data=data,
                         maxshape=maxshape,
                         compression="gzip",
-                        chunks=True,
+                        chunks=(1,) + data.shape[1:],
                     )
 
         # remaining pairs split train/val; worker k statically owns items

@@ -275,3 +275,29 @@ class TestSyntheticAndStore:
         np.testing.assert_array_equal(
             np.asarray(fb["noisy"])[2:4], np.asarray(hb["noisy"]),
         )
+
+    def test_store_chunking_and_ram_cache(self, tmp_path):
+        import h5py
+
+        images = tmp_path / "images"
+        generate_dataset(images, height=96, width=96, seed=4)
+        store = tmp_path / "patches"
+        store.mkdir()
+        Hdf5Constructor(
+            str(images), str(store), 32, 8, seed=1, train_val_ratio=0.5,
+        ).construct_hdf5()
+        # one gzip chunk per sample: a single-sample read must not
+        # decompress other samples' data (h5py auto-chunking picked
+        # multi-sample 16x16 spatial tiles, a measured 646 ms/sample)
+        with h5py.File(store / "train.h5", "r") as f:
+            for key in ("noisy", "gt", "aux"):
+                assert f[key].chunks == (1,) + f[key].shape[1:]
+
+        cached = PatchDataset(str(store / "train.h5"), cache_in_ram=True)
+        direct = PatchDataset(str(store / "train.h5"), cache_in_ram=False)
+        assert cached._cache is not None and direct._cache is None
+        idx = np.array([3, 0, 2, 1])  # unsorted (epoch indices are unique)
+        bc, bd = cached.batch(idx), direct.batch(idx)
+        for key in PatchDataset.KEYS:
+            np.testing.assert_array_equal(bc[key], bd[key])
+            assert bc[key].dtype == np.float32
