@@ -90,11 +90,16 @@ def stitch_tiles(tiles: np.ndarray, meta: tuple, tile: int, margin: int) -> np.n
 def denoise_frame(
     apply_fn,
     data: dict[str, np.ndarray],
-    tile: int = 256,
+    tile: int = 64,
     margin: int = 32,
     batch_tiles: int = 8,
 ) -> np.ndarray:
-    """Denoise one preprocessed frame dict → linear-HDR output [H, W, 3]."""
+    """Denoise one preprocessed frame dict → linear-HDR output [H, W, 3].
+
+    Default tile 64 + margin 32 gives 128² windows — the prod training
+    patch geometry, so inference reuses the training compile-cache entry
+    and fits the Pallas attention kernel's VMEM plan (320² windows at
+    batch 8 were measured to exhaust v5e VMEM)."""
     noisy_log = preprocess_specular(data["noisy"]).astype(np.float32)
     aux = data["aux"].astype(np.float32).copy()
     aux[..., :3] = preprocess_normal(aux[..., :3])
@@ -337,7 +342,7 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     # inference.* overrides are consumed here, the rest go to the config
-    infer_opts = {"tile": 256, "margin": 32, "batch_tiles": 8, "save_exr": False,
+    infer_opts = {"tile": 64, "margin": 32, "batch_tiles": 8, "save_exr": False,
                   "images_dir": None, "out_dir": None, "noisy_spp": 32,
                   "gt_spp": 1024, "spatial": False}
     cfg_overrides = []
