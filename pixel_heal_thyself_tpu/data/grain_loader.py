@@ -75,6 +75,30 @@ class _H5RecordSource:
         return f"_H5RecordSource({self._path!r}, n={self._len})"
 
 
+class _CachedRecordSource:
+    """Record source over a `PatchDataset` RAM cache — no h5 reads at all.
+
+    Thread-safe (numpy slicing) but deliberately NOT used with grain
+    worker *processes*: pickling would copy the multi-GB cache into every
+    worker."""
+
+    KEYS = PatchDataset.KEYS
+
+    def __init__(self, cache: dict[str, np.ndarray], length: int) -> None:
+        self._cache = cache
+        self._len = length
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        i = int(idx)
+        return {key: self._cache[key][i] for key in self.KEYS}
+
+    def __repr__(self) -> str:
+        return f"_CachedRecordSource(n={self._len})"
+
+
 class _FetchRecord(pygrain.MapTransform if HAVE_GRAIN else object):
     """index -> record via the picklable h5 source (survives mp workers)."""
 
@@ -111,7 +135,10 @@ class GrainLoader:
                 "PrefetchLoader's per-host batch assembly",
             )
         self.dataset = dataset
-        self.source = _H5RecordSource(dataset.dataset_path, len(dataset))
+        if dataset._cache is not None and mp_workers == 0:
+            self.source = _CachedRecordSource(dataset._cache, len(dataset))
+        else:
+            self.source = _H5RecordSource(dataset.dataset_path, len(dataset))
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
