@@ -110,6 +110,10 @@ class TrainerConfig:
     # dispatch latency that dominates batch-1 val on TPU)
     val_batch_size: int = 8
     use_pallas: bool = True  # fused attention kernel (TPU backends only)
+    # fold the q/k/v 1×1 projections into the fused attention op (AFGSA
+    # only; measured perf-neutral on the prod bench — BASELINE.md
+    # round-3 negative results — kept as a reachable opt-in variant)
+    fold_qkv: bool = False
     profile_dir: str = ""  # write a jax.profiler trace of early steps here
 
 

@@ -150,7 +150,7 @@ def write_exr(
 def _parse_header(buf: memoryview) -> dict:
     magic, version = struct.unpack_from("<ii", buf, 0)
     if magic != _MAGIC:
-        raise ValueError(f"not an EXR file: {path}")
+        raise ValueError(f"not an EXR file (bad magic 0x{magic & 0xFFFFFFFF:08x})")
     if version & 0x200:
         raise NotImplementedError("tiled EXRs are not supported")
     if version & 0x800:

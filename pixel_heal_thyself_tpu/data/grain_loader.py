@@ -24,6 +24,7 @@ rejects `loader=grain` with `parallel.multihost=true`.
 
 from __future__ import annotations
 
+import threading
 from typing import Iterator
 
 import h5py
@@ -53,23 +54,32 @@ class _H5RecordSource:
     def __init__(self, path: str, length: int) -> None:
         self._path = path
         self._len = length
-        self._file: h5py.File | None = None
+        # h5py handles are not thread-safe (see PatchDataset.file), and
+        # grain's ReadOptions(num_threads=N) calls __getitem__ from N
+        # threads concurrently — keep one handle per thread
+        self._local = threading.local()
 
     def __len__(self) -> int:
         return self._len
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
-        if self._file is None:
-            self._file = h5py.File(self._path, "r")
+        file = getattr(self._local, "file", None)
+        if file is None:
+            file = h5py.File(self._path, "r")
+            self._local.file = file
         i = int(idx)
         return {
-            key: np.asarray(self._file[key][i], np.float32) for key in self.KEYS
+            key: np.asarray(file[key][i], np.float32) for key in self.KEYS
         }
 
     def __getstate__(self):
         state = self.__dict__.copy()
-        state["_file"] = None  # handles don't cross process boundaries
+        state["_local"] = None  # handles don't cross process boundaries
         return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._local = threading.local()
 
     def __repr__(self) -> str:  # grain logs the source repr
         return f"_H5RecordSource({self._path!r}, n={self._len})"

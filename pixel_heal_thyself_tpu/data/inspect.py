@@ -16,6 +16,7 @@ import numpy as np
 
 from pixel_heal_thyself_tpu.data.exr import (
     _PIXEL_TYPES,
+    _group_key,
     read_exr,
     read_exr_header,
 )
@@ -56,9 +57,13 @@ def describe_exr(exr_path: str) -> str:
     for name, ptype in hdr["channels"]:
         tname = np.dtype(_PIXEL_TYPES[ptype]).name if ptype in _PIXEL_TYPES else "?"
         lines.append(f"  {name:<20} {tname}")
-    groups = read_exr(exr_path)
-    if "default" in groups:
-        lines.append(f"Default channels: {groups['default'].shape[-1]}")
+    # group count straight from the header (same grouping as read_exr) —
+    # describing a frame must not decompress its whole payload
+    n_default = sum(
+        1 for name, _ in hdr["channels"] if _group_key(name)[0] == "default"
+    )
+    if n_default:
+        lines.append(f"Default channels: {n_default}")
     return "\n".join(lines)
 
 

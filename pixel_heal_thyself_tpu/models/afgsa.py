@@ -105,7 +105,6 @@ class AFGSA(nn.Module):
     block_size: int = 8
     halo_size: int = 3
     num_heads: int = 4
-    use_bias: bool = False
     curve_order: CurveOrder = CurveOrder.RASTER
     use_film: bool = False
     use_pallas: bool = False
@@ -138,7 +137,6 @@ class AFGSA(nn.Module):
         # declared via _ProjKernel so the Pallas path can fold the
         # projections into the fused attention op (aligned backward
         # matmuls; see ops/attention_pallas.qkv_block_halo_attention_pallas)
-        assert not self.use_bias, "reference AFGSA projections are bias-free"
         wq = _ProjKernel(ch, name="q_conv")(n_aux.shape[-1])
         wk = _ProjKernel(ch, name="k_conv")(n_aux.shape[-1])
         wv = _ProjKernel(ch, name="v_conv")(noisy.shape[-1])
@@ -197,6 +195,7 @@ class TransformerBlock(nn.Module):
     curve_order: CurveOrder = CurveOrder.RASTER
     use_film: bool = False
     use_pallas: bool = False
+    fold_qkv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -209,6 +208,7 @@ class TransformerBlock(nn.Module):
             curve_order=self.curve_order,
             use_film=self.use_film,
             use_pallas=self.use_pallas,
+            fold_qkv=self.fold_qkv,
             dtype=self.dtype,
             name="attention",
         )(noisy, aux)
@@ -247,6 +247,7 @@ class AFGSANet(nn.Module):
     curve_order: CurveOrder = CurveOrder.RASTER
     use_film: bool = False
     use_pallas: bool = False
+    fold_qkv: bool = False
     enc_ch: int = 256
     dtype: Any = jnp.float32
 
@@ -312,6 +313,7 @@ class AFGSANet(nn.Module):
                 curve_order=self.curve_order,
                 use_film=self.use_film,
                 use_pallas=self.use_pallas,
+                fold_qkv=self.fold_qkv,
                 dtype=self.dtype,
             )(out, a)
 

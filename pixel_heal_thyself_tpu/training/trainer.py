@@ -561,6 +561,7 @@ class AFGSATrainer(BaseTrainer):
             curve_order=m.curve_order,
             use_film=m.use_film,
             use_pallas=self.use_pallas,
+            fold_qkv=self.use_pallas and self.cfg.trainer.fold_qkv,
             dtype=self.compute_dtype,
         )
 

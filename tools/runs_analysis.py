@@ -232,12 +232,22 @@ def write_report(
             lines.append("-" * 80)
             base_val = avg.get(baseline)
             for exp in experiments:
-                if exp not in avg or base_val is None:
+                if exp not in avg:
                     lines.append(
-                        f"{exp:<30} | {'No data':<10} | {'N/A':<10} | {'N/A':<10}",
+                        f"{exp:<30} | {'No data':<10} | {'N/A':<10} | "
+                        f"{'N/A':<10} | {'':<5}",
                     )
                     continue
                 val = avg[exp]
+                if base_val is None:
+                    # baseline has no tail-epoch rows: still show the
+                    # variant's own average, just without a comparison
+                    val_s = f"{val:.6f}" if metric == "mrse" else f"{val:.3f}"
+                    lines.append(
+                        f"{exp:<30} | {val_s:<10} | {'N/A':<10} | "
+                        f"{'N/A':<10} | {'':<5}",
+                    )
+                    continue
                 diff = val - base_val
                 if metric == "mrse":  # lower is better
                     pct = (base_val - val) / base_val * 100 if base_val else 0.0
