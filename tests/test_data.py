@@ -107,6 +107,20 @@ class TestInspect:
             assert name in text
         assert "Default channels: 3" in text
 
+    def test_describe_is_header_only(self, tmp_path, monkeypatch):
+        # describing a frame must not decompress the payload (the helper
+        # exists to inspect production-size EXRs cheaply)
+        from pixel_heal_thyself_tpu.data import inspect as inspect_mod
+
+        p, _ = self._write_sample(tmp_path)
+
+        def boom(*a, **k):
+            raise AssertionError("describe_exr must not call read_exr")
+
+        monkeypatch.setattr(inspect_mod, "read_exr", boom)
+        text = inspect_mod.describe_exr(str(p))
+        assert "Default channels: 3" in text
+
     def test_display_normalization(self, tmp_path):
         from pixel_heal_thyself_tpu.data.inspect import process_channel_display
 

@@ -76,6 +76,42 @@ def test_read_threads_preserve_order(store):
         np.testing.assert_array_equal(a["gt"], b["gt"])
 
 
+def test_h5_source_concurrent_thread_reads(store):
+    # grain's ReadOptions(num_threads=N) hits the record source from N
+    # threads at once; the source must keep one h5 handle per thread
+    # (h5py handles are not thread-safe)
+    import threading
+
+    from pixel_heal_thyself_tpu.data.grain_loader import _H5RecordSource
+
+    with h5py.File(store, "r") as f:
+        expect = {k: np.asarray(f[k]) for k in PatchDataset.KEYS}
+    src = _H5RecordSource(store, len(expect["noisy"]))
+    errors: list[Exception] = []
+
+    def hammer():
+        try:
+            for _ in range(20):
+                for i in range(len(src)):
+                    rec = src[i]
+                    for k in PatchDataset.KEYS:
+                        np.testing.assert_array_equal(rec[k], expect[k][i])
+        except Exception as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # distinct handles per thread, and the source still pickles
+    import pickle
+
+    clone = pickle.loads(pickle.dumps(src))
+    assert np.asarray(clone[0]["gt"]).shape == expect["gt"][0].shape
+
+
 @pytest.mark.slow
 def test_mp_prefetch_preserves_order(store):
     ds = PatchDataset(store)

@@ -114,6 +114,35 @@ class TestRunsAnalysis:
         assert "Best performing configurations:" in report
         assert "fast: 3/3 epochs" in report  # psnr_base 32 wins every epoch
 
+    def test_report_baseline_without_tail_rows(self, tmp_path):
+        # baseline run stopped at epoch 2; variant reached epoch 6 — the
+        # tail window (last 3 epochs) has no baseline rows, but the
+        # variant's averages must still be shown (with N/A comparisons),
+        # not a blanket "No data"
+        self._make_run(tmp_path, "run000", 2, 30.0, ["a=1"])
+        self._make_run(tmp_path, "run001", 6, 32.0, ["b=2"])
+        import yaml
+
+        name_map = tmp_path / "names.yaml"
+        name_map.write_text(yaml.safe_dump({"a=1": "baseline", "b=2": "variant"}))
+        out = tmp_path / "analysis"
+        runs_analysis.main(
+            str(tmp_path), False, str(out), str(name_map), tail_epochs=3,
+        )
+        report = (out / "metrics_report.txt").read_text()
+        psnr_section = report.split("### PSNR")[1].split("###")[0]
+        base_line = next(
+            ln for ln in psnr_section.splitlines() if ln.startswith("baseline ")
+        )
+        var_line = next(
+            ln for ln in psnr_section.splitlines() if ln.startswith("variant ")
+        )
+        assert "No data" in base_line
+        # variant epochs 4..6 → PSNR 36/37/38 → avg 37; comparison is N/A
+        assert "37.000" in var_line and "N/A" in var_line
+        # every table row matches the 5-column header
+        assert base_line.count("|") == 4 and var_line.count("|") == 4
+
 
 class TestInferenceAnalysis:
     def _write_eval(self, d, scene, rmse, psnr, one_minus_ssim):
