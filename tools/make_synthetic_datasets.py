@@ -11,8 +11,10 @@ run this script to rebuild them byte-identically, then:
         data.images.dir=$PWD/data/images_prod_synth
     python -m pixel_heal_thyself_tpu.train -cn stag model=mamba \
         data.images.dir=$PWD/data/images_prod_synth
-    python -m pixel_heal_thyself_tpu.inference --run-dir <run> \
-        --images-dir data/images_prod_synth --output-dir reports/...
+    python -m pixel_heal_thyself_tpu.inference -cn prod \
+        trainer.model_path=<run>/model_epochN/state \
+        inference.images_dir=data/images_prod_synth \
+        inference.out_dir=reports/...
 """
 
 from __future__ import annotations
