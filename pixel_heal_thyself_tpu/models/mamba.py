@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pixel_heal_thyself_tpu.models.layers import ConvBlock
+from pixel_heal_thyself_tpu.ops import conv_pallas
 from pixel_heal_thyself_tpu.ops.conv import causal_depthwise_conv1d
 from pixel_heal_thyself_tpu.ops.padding import make_row_halo_pad
 from pixel_heal_thyself_tpu.ops.ssd import ssd_chunked, ssd_sharded
@@ -77,6 +78,9 @@ class Mamba2Layer(nn.Module):
     A_init_range: tuple = (1.0, 16.0)
     dtype: Any = jnp.float32
     seq_axis: str | None = None
+    # fuse the xBC-slice → causal conv1d → SiLU prologue into one Pallas
+    # kernel (ops/conv_pallas.py) — TPU only, single-device path
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -94,9 +98,8 @@ class Mamba2Layer(nn.Module):
             param_dtype=jnp.float32,
             name="in_proj",
         )(u.astype(self.dtype))
-        z, xBC, dt_raw = jnp.split(
-            zxbcdt, [d_inner, d_inner + conv_dim], axis=-1,
-        )
+        z = zxbcdt[..., :d_inner]
+        dt_raw = zxbcdt[..., d_inner + conv_dim:]
 
         conv_w = self.param(
             "conv1d_weight",
@@ -116,6 +119,7 @@ class Mamba2Layer(nn.Module):
             # exact cross-shard conv context: previous shard's last k-1
             # tokens; shard 0 receives zeros from the non-cyclic ppermute —
             # precisely the global causal zero pad
+            xBC = zxbcdt[..., d_inner:d_inner + conv_dim]
             n_sh = jax.lax.axis_size(self.seq_axis)
             prev_tail = jax.lax.ppermute(
                 xBC[:, -(self.d_conv - 1):],
@@ -127,9 +131,17 @@ class Mamba2Layer(nn.Module):
                     xBC, conv_w, conv_b, initial_tokens=prev_tail,
                 ),
             )
+        elif self.use_pallas and conv_pallas.supports_shapes(
+            l, d_inner, conv_dim, self.d_conv, conv_pallas._pick_l_tile(l),
+        ):
+            xBC = conv_pallas.fused_causal_conv1d_silu(
+                zxbcdt, conv_w, conv_b, d_inner, conv_dim,
+            )
         else:
             xBC = jax.nn.silu(
-                causal_depthwise_conv1d(xBC, conv_w, conv_b),
+                causal_depthwise_conv1d(
+                    zxbcdt[..., d_inner:d_inner + conv_dim], conv_w, conv_b,
+                ),
             )
         x, B, C = jnp.split(
             xBC,
@@ -218,6 +230,7 @@ class MambaBlock(nn.Module):
     dtype: Any = jnp.float32
     seq_axis: str | None = None
     pad_fn: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, noisy: jnp.ndarray, aux: jnp.ndarray):
@@ -232,6 +245,7 @@ class MambaBlock(nn.Module):
             headdim=self.headdim,
             dtype=self.dtype,
             seq_axis=self.seq_axis,
+            use_pallas=self.use_pallas,
             name="mamba",
         )(normed)
         noisy = noisy + mixed.reshape(b, h, w, c)
@@ -279,6 +293,7 @@ class MambaDenoiserNet(nn.Module):
     enc_ch: int = 256
     dtype: Any = jnp.float32
     seq_axis: str | None = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, noisy: jnp.ndarray, aux: jnp.ndarray) -> jnp.ndarray:
@@ -355,6 +370,7 @@ class MambaDenoiserNet(nn.Module):
                 dtype=self.dtype,
                 seq_axis=self.seq_axis,
                 pad_fn=pad_fn,
+                use_pallas=self.use_pallas,
             )(out, a)
 
         out = cb(

@@ -587,4 +587,9 @@ class MambaTrainer(BaseTrainer):
             num_gcp=m.num_gradient_checkpoints,
             padding_mode=self.padding_mode,
             dtype=self.compute_dtype,
+            # NOT self.use_pallas: the fused conv1d+silu prologue kernel
+            # measured net-slower than XLA's own fusion of that chain
+            # (158.6 -> 167.0 ms G fwd+bwd; BASELINE.md round-3 negative
+            # results) — the XLA path stays the production default
+            use_pallas=False,
         )

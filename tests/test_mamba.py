@@ -167,3 +167,89 @@ class TestMambaModel:
         p = net.init(jax.random.PRNGKey(0), noisy, aux)
         g = jax.grad(lambda p: jnp.mean(net.apply(p, noisy, aux) ** 2))(p)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(g))
+
+
+class TestFusedConvPallas:
+    """ops/conv_pallas.fused_causal_conv1d_silu vs the XLA chain
+    (interpret mode; compiled-Mosaic validation ran on the real chip —
+    f32 forward bit-exact, grads to accumulation noise, BASELINE.md).
+    The kernel is a measured-slower opt-in (negative results), kept
+    golden-tested like fold_qkv / ssd_pallas."""
+
+    def _data(self, b, l, ctot, c, k=4, seed=0):
+        rng = np.random.default_rng(seed)
+        z = jnp.asarray(rng.standard_normal((b, l, ctot)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, c)) * 0.3, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+        return z, w, bias
+
+    @pytest.mark.parametrize("l", [64, 256])
+    def test_forward_and_grads_match_xla_interpret(self, l, monkeypatch):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from pixel_heal_thyself_tpu.ops import conv_pallas
+
+        if l == 256:  # force the multi-tile path (context crosses tiles)
+            monkeypatch.setattr(conv_pallas, "_pick_l_tile", lambda _l: 64)
+        off, c = 128, 256
+        z, w, bias = self._data(2, l, 512, c)
+
+        def ref(z, w, bias):
+            return jax.nn.silu(
+                causal_depthwise_conv1d(z[..., off:off + c], w, bias),
+            )
+
+        def pal(z, w, bias):
+            with pltpu.force_tpu_interpret_mode():
+                return conv_pallas.fused_causal_conv1d_silu(
+                    z, w, bias, off, c, True,
+                )
+
+        np.testing.assert_allclose(
+            np.asarray(pal(z, w, bias)), np.asarray(ref(z, w, bias)),
+            atol=2e-6, rtol=1e-5,
+        )
+        gp = jax.grad(
+            lambda *a: jnp.sum(jnp.sin(pal(*a))), argnums=(0, 1, 2),
+        )(z, w, bias)
+        gr = jax.grad(
+            lambda *a: jnp.sum(jnp.sin(ref(*a))), argnums=(0, 1, 2),
+        )(z, w, bias)
+        for a, b in zip(gp, gr, strict=True):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+            )
+
+    def test_layer_opt_in_matches_xla_interpret(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from pixel_heal_thyself_tpu.ops import conv_pallas
+
+        # d_model 32 -> d_inner 128, conv_dim 256: lane-aligned windows
+        layer_x = Mamba2Layer(d_model=32, d_state=64, headdim=32)
+        layer_p = Mamba2Layer(
+            d_model=32, d_state=64, headdim=32, use_pallas=True,
+        )
+        x = jnp.asarray(
+            np.random.default_rng(3).standard_normal((1, 64, 32)),
+            jnp.float32,
+        )
+        params = layer_x.init(jax.random.PRNGKey(0), x)
+        want = layer_x.apply(params, x)
+        orig = conv_pallas.fused_causal_conv1d_silu
+        calls = []
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        conv_pallas.fused_causal_conv1d_silu = spy
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = layer_p.apply(params, x)
+        finally:
+            conv_pallas.fused_causal_conv1d_silu = orig
+        assert calls, "fused path was not taken"
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4,
+        )

@@ -59,7 +59,16 @@ def main(argv=None) -> None:
         print(f"{name:34s} {ms:8.2f} ms", flush=True)
         return ms
 
-    model = MambaDenoiserNet(dtype=jnp.bfloat16, num_gcp=0, height=p, width=p)
+    # fused conv1d+silu prologue: measured net-slower than the XLA chain
+    # (BASELINE.md round-3 negative results); flip on to re-measure
+    use_pallas = (
+        jax.default_backend() not in ("cpu", "gpu")
+        and os.environ.get("PHT_MAMBA_PALLAS", "0") == "1"
+    )
+    model = MambaDenoiserNet(
+        dtype=jnp.bfloat16, num_gcp=0, height=p, width=p,
+        use_pallas=use_pallas,
+    )
     noisy0 = jnp.zeros((b, p, p, 3))
     aux0 = jnp.zeros((b, p, p, 7))
     params = model.init(jax.random.PRNGKey(0), noisy0, aux0)
@@ -88,7 +97,7 @@ def main(argv=None) -> None:
     seq = jnp.asarray(
         rng_np.standard_normal((b, p * p, 256)).astype(np.float32), jnp.bfloat16,
     )
-    layer = Mamba2Layer(d_model=256, dtype=jnp.bfloat16)
+    layer = Mamba2Layer(d_model=256, dtype=jnp.bfloat16, use_pallas=use_pallas)
     lp = layer.init(jax.random.PRNGKey(1), seq)
 
     def layer_fwd_bwd(x):
