@@ -113,8 +113,13 @@ def test_ci_train_end_to_end(tmp_cwd):
     assert (out / "model_epoch1" / "0.png").exists()
     assert (out / "model_epoch1" / "state").is_dir()
 
-    # resume from the checkpoint (the reference's resume was broken)
+    # resume from the checkpoint (the reference's resume was broken);
+    # the resume leg drives the Grain feed, so it needs grain installed
     from pixel_heal_thyself_tpu.config.run_dirs import reset_run_dirs_cache
+    from pixel_heal_thyself_tpu.data.grain_loader import HAVE_GRAIN
+
+    if not HAVE_GRAIN:  # pragma: no cover - grain is in the dev images
+        pytest.skip("grain not installed; resume leg uses data.loader=grain")
 
     reset_run_dirs_cache()
     cfg2 = Config.from_tree(
