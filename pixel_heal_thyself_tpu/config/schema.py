@@ -150,6 +150,10 @@ class BaseModelConfig:
     input_channels: int = 3
     aux_input_channels: int = 7
     feature_map_channels: int = 256
+    # encoder per-scale channels (1×1/3×3/5×5 branches). Not separately
+    # tunable in the reference (hardcoded 256, model.py:585-733); exposed
+    # here so the non-parity fast profile can slim the whole trunk
+    enc_channels: int = 256
     curve_order: CurveOrder = CurveOrder.RASTER
     use_film: bool = False
     num_gradient_checkpoints: int = 0

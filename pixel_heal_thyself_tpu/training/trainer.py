@@ -562,6 +562,7 @@ class AFGSATrainer(BaseTrainer):
             use_film=m.use_film,
             use_pallas=self.use_pallas,
             fold_qkv=self.use_pallas and self.cfg.trainer.fold_qkv,
+            enc_ch=m.enc_channels,
             dtype=self.compute_dtype,
         )
 
@@ -586,6 +587,7 @@ class MambaTrainer(BaseTrainer):
             headdim=m.headdim,
             num_gcp=m.num_gradient_checkpoints,
             padding_mode=self.padding_mode,
+            enc_ch=m.enc_channels,
             dtype=self.compute_dtype,
             # NOT self.use_pallas: the fused conv1d+silu prologue kernel
             # measured net-slower than XLA's own fusion of that chain
