@@ -144,7 +144,7 @@ class AFGSA(nn.Module):
         rel_h = self.param("rel_h", normal_unit, (window, head_ch // 2), jnp.float32)
         rel_w = self.param("rel_w", normal_unit, (window, head_ch // 2), jnp.float32)
 
-        if self.use_pallas and self.fold_qkv:
+        if self.use_pallas and self.fold_qkv and ch % 128 == 0:
             from pixel_heal_thyself_tpu.ops.attention_pallas import (
                 qkv_block_halo_attention_pallas,
             )

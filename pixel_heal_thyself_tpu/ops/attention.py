@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pixel_heal_thyself_tpu.logger import logger
+
 
 def extract_halo_windows(
     x: jnp.ndarray,
@@ -197,6 +199,16 @@ def block_halo_attention(
             f"block_size={block_size}; pad or tile the input "
             f"(inference.py tiles full frames to block-aligned sizes)",
         )
+    if use_pallas and q.shape[-1] % 128 != 0:
+        # the fused kernel DMAs channel columns at lane-tile (128)
+        # granularity — non-multiple widths fail deep in Mosaic with an
+        # unprovable-slice error (measured at ch=96/64, BASELINE.md fast
+        # profile notes). Fall back to the XLA path instead of crashing.
+        logger.warning(
+            f"Pallas block-halo attention needs channels % 128 == 0 "
+            f"(got {q.shape[-1]}); using the XLA path",
+        )
+        use_pallas = False
     if use_pallas:
         from pixel_heal_thyself_tpu.ops.attention_pallas import (
             block_halo_attention_pallas,
