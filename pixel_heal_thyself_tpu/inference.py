@@ -255,9 +255,44 @@ def run_inference(
     save_exr: bool = False,
     scale: float = 1.0,
     spatial: bool = False,
+    from_export: str | None = None,
 ) -> list[dict]:
-    model, variables = load_generator(cfg)
-    apply_fn = jax.jit(lambda n, a: model.apply(variables, n, a))
+    if from_export:
+        # AOT serving artifact (tools/export_model.py): fixed tile window
+        # and batch baked into the module — no model code or checkpoint
+        from pixel_heal_thyself_tpu.serving import load_exported
+
+        if spatial:
+            raise ValueError(
+                "inference.spatial shards the live flax model; exported "
+                "artifacts serve the tiled path only",
+            )
+        apply_fn, manifest = load_exported(from_export)
+        window = manifest["window"]
+        if window != tile + 2 * margin:
+            # honor the artifact's geometry: margin stays as configured
+            # (receptive-field coverage), tile absorbs the difference
+            new_tile = window - 2 * margin
+            if new_tile <= 0:
+                raise ValueError(
+                    f"artifact window {window} can't cover margin {margin}; "
+                    "lower inference.margin or re-export with a larger "
+                    "export.window",
+                )
+            logger.info(
+                f"[Infer] artifact window {window}: using tile {new_tile} "
+                f"(+2×{margin} margin) instead of configured {tile}",
+            )
+            tile = new_tile
+        if batch_tiles != manifest["batch_tiles"]:
+            logger.info(
+                f"[Infer] artifact batch_tiles {manifest['batch_tiles']} "
+                f"overrides configured {batch_tiles}",
+            )
+            batch_tiles = manifest["batch_tiles"]
+    else:
+        model, variables = load_generator(cfg)
+        apply_fn = jax.jit(lambda n, a: model.apply(variables, n, a))
     os.makedirs(out_dir, exist_ok=True)
 
     mesh = None
@@ -347,7 +382,7 @@ def main(argv=None) -> None:
     # inference.* overrides are consumed here, the rest go to the config
     infer_opts = {"tile": 64, "margin": 32, "batch_tiles": 8, "save_exr": False,
                   "images_dir": None, "out_dir": None, "noisy_spp": 32,
-                  "gt_spp": 1024, "spatial": False}
+                  "gt_spp": 1024, "spatial": False, "from_export": None}
     cfg_overrides = []
     for ov in args.overrides:
         key, _, val = ov.partition("=")
@@ -364,8 +399,11 @@ def main(argv=None) -> None:
 
     cfg = ConfigRegistry.create_config(compose(args.config_name, cfg_overrides))
     logger.setup_logger(cfg.logging.level)
-    if not cfg.trainer.model_path:
-        raise SystemExit("set trainer.model_path=<checkpoint state dir>")
+    if not cfg.trainer.model_path and not infer_opts["from_export"]:
+        raise SystemExit(
+            "set trainer.model_path=<checkpoint state dir> "
+            "(or inference.from_export=<artifact dir>)",
+        )
     images_dir = infer_opts["images_dir"] or cfg.data.images.dir
     out_dir = infer_opts["out_dir"] or os.path.join(
         cfg.paths.output_dir, "inference",
@@ -382,6 +420,7 @@ def main(argv=None) -> None:
         save_exr=infer_opts["save_exr"],
         scale=cfg.data.images.scale,
         spatial=infer_opts["spatial"],
+        from_export=infer_opts["from_export"],
     )
 
 

@@ -221,7 +221,13 @@ def make_train_step(
         }
         return gstate, dstate, metrics
 
-    return jax.jit(train_step, donate_argnums=(0, 1))
+    from pixel_heal_thyself_tpu.utils.xla_options import env_compiler_options
+
+    return jax.jit(
+        train_step,
+        donate_argnums=(0, 1),
+        compiler_options=env_compiler_options(),
+    )
 
 
 def make_eval_step(g_model) -> Callable:
