@@ -8,15 +8,20 @@ rows outside the frame are zero-filled in VMEM, so the images never get
 padded in HBM — and computes q·kᵀ (+relative positional bias), an fp32
 softmax, and attn·v without touching HBM.
 
-Kernel structure (v3 — stripe-batched, image-accumulating backward):
-per-block work is batched into per-head `dot_general`s with the block axis
-as a batch dimension, so each stripe issues ~8 batched MXU ops instead of
-hundreds of tiny ones. The 14-wide halo windows are staged into
-tile-aligned 16-wide buffers (one aligned VMEM copy per block); the two
-alignment-padding columns per window row are masked to -inf in the softmax
-— they fall inside the same padded MXU tile, so they cost nothing, and
-their gradients are exactly zero, which lets the backward accumulate full
-aligned windows.
+Kernel structure (v4 — stripe-batched, double-buffered stripe DMA,
+image-accumulating backward): per-block work is batched into per-head
+`dot_general`s with the block axis as a batch dimension, so each stripe
+issues ~8 batched MXU ops instead of hundreds of tiny ones. The 14-wide
+halo windows are staged into tile-aligned 16-wide buffers (one aligned
+VMEM copy per block); the two alignment-padding columns per window row
+are masked to -inf in the softmax — they fall inside the same padded MXU
+tile, so they cost nothing, and their gradients are exactly zero, which
+lets the backward accumulate full aligned windows. The k/v stripe copies
+are double-buffered across the sequential stripe grid dimension
+(prefetch stripe i+1 while computing stripe i) — v3 start-and-wait
+serialized ~10 µs of HBM latency per program on the critical path, and
+removing it measured 73.2 → 76.2 patches/sec on the prod bench
+(BASELINE.md round 3).
 
 The backward pass is a sibling kernel (same stripe structure, one
 recompute of the attention probabilities) that emits dq and accumulates
@@ -81,62 +86,114 @@ def _mask_add(window: int, wwin: int) -> jnp.ndarray:
     return jnp.where(col % wwin < window, 0.0, -1e30).astype(jnp.float32)
 
 
-def _load_stripe(ref, scr, sem, bi, i, *, rows_per, halo, n_programs):
-    """DMA the halo-extended row stripe [i·rows_per−halo, …+rows_per+2·halo)
+def _stripe_dma(ref, scr, sem, bi, i, *, rows_per, halo, n_programs, phase):
+    """The halo-extended row-stripe DMA [i·rows_per−halo, …+rows_per+2·halo)
     of an UNPADDED-H image into `scr`, zero-filling the rows outside the
-    frame.
+    frame. `phase` is "start" (zero-fill + cp.start()) or "wait"
+    (cp.wait() on the identical descriptor) so callers can overlap the
+    copy with compute — the start/wait pair must use the same (bi, i, scr,
+    sem) arguments.
 
     Emits one static-shape copy per boundary case (Pallas DMAs need static
     sizes). `n_programs` is static, so the single-stripe case is a Python
-    branch.
+    branch; `i` may be traced (prefetch of stripe i+1 passes a traced
+    index).
     """
     srows = rows_per + 2 * halo
     himg = ref.shape[1]
+    start = phase == "start"
 
     def zero_rows(lo, hi):
         scr[lo:hi] = jnp.zeros_like(scr[lo:hi])
 
+    def run(cp, zeros):
+        if start:
+            for lo, hi in zeros:
+                zero_rows(lo, hi)
+            cp.start()
+        else:
+            cp.wait()
+
     if n_programs == 1:
         # one stripe: both edges are frame boundary
         rows = min(himg, srows - halo)
-        zero_rows(0, halo)
-        zero_rows(halo + rows, srows)
-        cp = pltpu.make_async_copy(
-            ref.at[bi, pl.ds(0, rows)], scr.at[pl.ds(halo, rows)], sem,
+        run(
+            pltpu.make_async_copy(
+                ref.at[bi, pl.ds(0, rows)], scr.at[pl.ds(halo, rows)], sem,
+            ),
+            [(0, halo), (halo + rows, srows)],
         )
-        cp.start()
-        cp.wait()
         return
 
     @pl.when(i == 0)
     def _():
-        zero_rows(0, halo)
-        cp = pltpu.make_async_copy(
-            ref.at[bi, pl.ds(0, srows - halo)],
-            scr.at[pl.ds(halo, srows - halo)],
-            sem,
+        run(
+            pltpu.make_async_copy(
+                ref.at[bi, pl.ds(0, srows - halo)],
+                scr.at[pl.ds(halo, srows - halo)],
+                sem,
+            ),
+            [(0, halo)],
         )
-        cp.start()
-        cp.wait()
 
     @pl.when(jnp.logical_and(i > 0, i < n_programs - 1))
     def _():
-        cp = pltpu.make_async_copy(
-            ref.at[bi, pl.ds(i * rows_per - halo, srows)], scr, sem,
+        run(
+            pltpu.make_async_copy(
+                ref.at[bi, pl.ds(i * rows_per - halo, srows)], scr, sem,
+            ),
+            [],
         )
-        cp.start()
-        cp.wait()
 
     @pl.when(i == n_programs - 1)
     def _():
-        zero_rows(srows - halo, srows)
-        cp = pltpu.make_async_copy(
-            ref.at[bi, pl.ds(i * rows_per - halo, srows - halo)],
-            scr.at[pl.ds(0, srows - halo)],
-            sem,
+        run(
+            pltpu.make_async_copy(
+                ref.at[bi, pl.ds(i * rows_per - halo, srows - halo)],
+                scr.at[pl.ds(0, srows - halo)],
+                sem,
+            ),
+            [(srows - halo, srows)],
         )
-        cp.start()
-        cp.wait()
+
+
+def _load_stripes_double_buffered(k_ref, v_ref, k_scr, v_scr, sems, bi, i, *,
+                                  rows_per, halo, n_programs):
+    """Double-buffered k/v stripe staging (guide "Patterns: Double
+    Buffering"): on the first stripe of each batch element, start the
+    slot-0 copies; every program then prefetches stripe i+1 into the other
+    slot BEFORE blocking on its own stripe, so the next stripe's HBM
+    transfer overlaps this stripe's windowing/matmul work. Prefetch stays
+    within one batch element — crossing the (parallel) batch grid dim
+    would assume cross-core sequencing Mosaic does not guarantee.
+
+    k_scr/v_scr are [2, srows, Wpp, C] slot-major scratch; sems is a
+    DMA-semaphore array indexed [kv, slot]. Returns the slot holding the
+    current stripe."""
+    kw = dict(rows_per=rows_per, halo=halo, n_programs=n_programs)
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        _stripe_dma(k_ref, k_scr.at[0], sems.at[0, 0], bi, i, phase="start", **kw)
+        _stripe_dma(v_ref, v_scr.at[0], sems.at[1, 0], bi, i, phase="start", **kw)
+
+    if n_programs > 1:
+        @pl.when(i + 1 < n_programs)
+        def _():
+            nslot = jax.lax.rem(i + 1, 2)
+            _stripe_dma(
+                k_ref, k_scr.at[nslot], sems.at[0, nslot], bi, i + 1,
+                phase="start", **kw,
+            )
+            _stripe_dma(
+                v_ref, v_scr.at[nslot], sems.at[1, nslot], bi, i + 1,
+                phase="start", **kw,
+            )
+
+    _stripe_dma(k_ref, k_scr.at[slot], sems.at[0, slot], bi, i, phase="wait", **kw)
+    _stripe_dma(v_ref, v_scr.at[slot], sems.at[1, slot], bi, i, phase="wait", **kw)
+    return slot
 
 
 def _rows_per_program(hb: int, bs: int, cap: int = 4) -> int:
@@ -163,12 +220,12 @@ def _fwd_kernel(
     v_ref,      # [1, H, Wpp, C] HBM
     bias_ref,   # [window, wwin, C] VMEM fp32
     o_ref,      # [1, rb·bs, W, C] VMEM
-    k_scr,      # [rb·bs + 2·halo, Wpp, C] VMEM scratch
+    k_scr,      # [2, rb·bs + 2·halo, Wpp, C] VMEM scratch (double-buffered)
     v_scr,
     kwin,       # [rb·wb, window, wwin, C] VMEM scratch (aligned windows)
     vwin,
     qall,       # [rb·wb, bs², C] VMEM scratch (block-gathered queries)
-    sems,       # DMA semaphores (2,)
+    sems,       # DMA semaphores (2, 2) — [kv, slot]
     *,
     bs: int,
     halo: int,
@@ -195,12 +252,8 @@ def _fwd_kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    _load_stripe(
-        k_ref, k_scr, sems.at[0], bi, i,
-        rows_per=rb * bs, halo=halo, n_programs=n_programs,
-    )
-    _load_stripe(
-        v_ref, v_scr, sems.at[1], bi, i,
+    slot = _load_stripes_double_buffered(
+        k_ref, v_ref, k_scr, v_scr, sems, bi, i,
         rows_per=rb * bs, halo=halo, n_programs=n_programs,
     )
 
@@ -209,8 +262,8 @@ def _fwd_kernel(
     for by in range(rb):
         for bx in range(wb):
             idx = by * wb + bx
-            kwin[idx] = k_scr[by * bs : by * bs + window, pl.ds(bx * bs, wwin), :]
-            vwin[idx] = v_scr[by * bs : by * bs + window, pl.ds(bx * bs, wwin), :]
+            kwin[idx] = k_scr[slot, by * bs : by * bs + window, pl.ds(bx * bs, wwin), :]
+            vwin[idx] = v_scr[slot, by * bs : by * bs + window, pl.ds(bx * bs, wwin), :]
             qall[idx] = q_ref[
                 0, by * bs : (by + 1) * bs, pl.ds(bx * bs, bs), :,
             ].reshape(bs * bs, c)
@@ -312,12 +365,12 @@ def _attention_fwd(q, kp, vp, rel_h, rel_w, *, block_size, halo_size, num_heads)
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rb * bs + 2 * halo, _padded_w(wdt, halo), c), q.dtype),
-            pltpu.VMEM((rb * bs + 2 * halo, _padded_w(wdt, halo), c), q.dtype),
+            pltpu.VMEM((2, rb * bs + 2 * halo, _padded_w(wdt, halo), c), q.dtype),
+            pltpu.VMEM((2, rb * bs + 2 * halo, _padded_w(wdt, halo), c), q.dtype),
             pltpu.VMEM((rb * wb, window, wwin, c), q.dtype),
             pltpu.VMEM((rb * wb, window, wwin, c), q.dtype),
             pltpu.VMEM((rb * wb, bs * bs, c), q.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -370,12 +423,8 @@ def _bwd_kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    _load_stripe(
-        k_ref, k_scr, sems.at[0], bi, i,
-        rows_per=rb * bs, halo=halo, n_programs=n_programs,
-    )
-    _load_stripe(
-        v_ref, v_scr, sems.at[1], bi, i,
+    slot = _load_stripes_double_buffered(
+        k_ref, v_ref, k_scr, v_scr, sems, bi, i,
         rows_per=rb * bs, halo=halo, n_programs=n_programs,
     )
 
@@ -390,8 +439,8 @@ def _bwd_kernel(
     for by in range(rb):
         for bx in range(wb):
             idx = by * wb + bx
-            kwin[idx] = k_scr[by * bs : by * bs + window, pl.ds(bx * bs, wwin), :]
-            vwin[idx] = v_scr[by * bs : by * bs + window, pl.ds(bx * bs, wwin), :]
+            kwin[idx] = k_scr[slot, by * bs : by * bs + window, pl.ds(bx * bs, wwin), :]
+            vwin[idx] = v_scr[slot, by * bs : by * bs + window, pl.ds(bx * bs, wwin), :]
             qall[idx] = q_ref[
                 0, by * bs : (by + 1) * bs, pl.ds(bx * bs, bs), :,
             ].reshape(bs * bs, c)
@@ -567,13 +616,13 @@ def _attention_bwd_padded(q, kp, vp, rel_h, rel_w, do, *, block_size, halo_size,
             jax.ShapeDtypeStruct((b, window * wwin, hd), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rb * bs + 2 * halo, wp, c), q.dtype),
-            pltpu.VMEM((rb * bs + 2 * halo, wp, c), q.dtype),
+            pltpu.VMEM((2, rb * bs + 2 * halo, wp, c), q.dtype),
+            pltpu.VMEM((2, rb * bs + 2 * halo, wp, c), q.dtype),
             pltpu.VMEM((rb * wb, window, wwin, c), q.dtype),
             pltpu.VMEM((rb * wb, window, wwin, c), q.dtype),
             pltpu.VMEM((rb * wb, bs * bs, c), q.dtype),
             pltpu.VMEM((rb * wb, bs * bs, c), q.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
