@@ -8,7 +8,10 @@ Behavioral spec: reference `pht/models/mamba/model.py` —
 - MambaDenoiserNet (:101-238): the same multi-scale conv encoder/aux
   encoder/decoder skeleton as AFGSANet, with a sinusoidal 2-D positional
   encoding added after encoding and Mamba blocks in the middle;
-  `decoder(out) + noisy` residual.
+  `decoder(out) + noisy` residual. Quirk preserved: the reference's
+  `mm_conv_block` (:14-35) has no no-activation path, so the final
+  decoder conv's `act_type=None` actually applies LeakyReLU(0.2) to the
+  RGB output before the residual.
 - PositionalEncoding2D (:296-324): even channels sin(y·ω), odd cos(x·ω).
 
 The Mamba2 layer itself follows the Mamba2 architecture (Dao & Gu 2024)
@@ -381,8 +384,14 @@ class MambaDenoiserNet(nn.Module):
             self.base_ch, kernel_size=3, padding=1,
             padding_mode=self.padding_mode, act_type="relu",
         )(out)
+        # reference quirk (preserved): mm_conv_block has NO no-activation
+        # path — `act_type=None` falls into its else branch and appends
+        # LeakyReLU(0.2) (`mamba/model.py:34`), so the final decoder conv's
+        # 3-channel output is leaky-rectified BEFORE the global residual
+        # (`mamba/model.py:206-213,238`). Discovered by the checkpoint
+        # importer's e2e forward comparison (tests/test_torch_import.py).
         out = cb(
             self.input_channels, kernel_size=3, padding=1,
-            padding_mode="zeros", act_type=None,
+            padding_mode="zeros", act_type="leakyrelu",
         )(out)
         return out.astype(jnp.float32) + x_in.astype(jnp.float32)
