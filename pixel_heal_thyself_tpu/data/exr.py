@@ -203,8 +203,23 @@ def read_exr_header(path: str | Path) -> dict:
     "width", "height", "compression", "header_end" (byte offset past the
     header terminator)}. Backs the inspection helpers
     (reference `pht/models/afgsa/util.py:48-57` via pyexr's describe).
+
+    Reads a bounded, doubling prefix of the file rather than the whole
+    payload — describing a multi-hundred-MB frame should not pay its full
+    I/O cost (headers are a few KB).
     """
-    return _parse_header(memoryview(Path(path).read_bytes()))
+    size = 1 << 16
+    with open(path, "rb") as f:
+        buf = f.read(size)
+        while True:
+            try:
+                return _parse_header(memoryview(buf))
+            except (struct.error, IndexError, ValueError):
+                more = f.read(size)
+                if not more:  # truly truncated/corrupt: surface the error
+                    return _parse_header(memoryview(buf))
+                buf += more
+                size *= 2
 
 
 def read_exr_channels(path: str | Path) -> dict[str, np.ndarray]:

@@ -109,8 +109,14 @@ def denoise_frame(
     n = noisy_tiles.shape[0]
     pad_n = (-n) % batch_tiles
     if pad_n:
-        noisy_tiles = np.concatenate([noisy_tiles, noisy_tiles[:pad_n]], 0)
-        aux_tiles = np.concatenate([aux_tiles, aux_tiles[:pad_n]], 0)
+        # wrap-around repeat: covers pad_n > n (a frame with fewer tiles
+        # than batch_tiles), which a plain `tiles[:pad_n]` under-pads —
+        # the exported-artifact path then hard-fails on the baked batch
+        reps = np.take(noisy_tiles, np.arange(pad_n) % n, axis=0)
+        noisy_tiles = np.concatenate([noisy_tiles, reps], 0)
+        aux_tiles = np.concatenate(
+            [aux_tiles, np.take(aux_tiles, np.arange(pad_n) % n, axis=0)], 0,
+        )
 
     outs = []
     for i in range(0, len(noisy_tiles), batch_tiles):

@@ -257,6 +257,20 @@ def ssd_chunked(
     return y
 
 
+def _state_summary(stacks, dtype):
+    """(total decay [b, h], final state from zero init [b, h, n, p]) of a
+    token strip's affine recurrence `state_out = a_tot·state_in + S_fin`,
+    from precomputed chunk stacks. Shared by `ssd_state_summary` and
+    `ssd_sharded` so the formula cannot diverge between them."""
+    final, _ = _ssd_carry(stacks, None, with_outputs=False)
+    d = stacks["dims"]
+    # total decay: product of per-chunk decays, in log space for stability
+    a_tot = jnp.exp(
+        jnp.sum(stacks["cum"][..., -1], axis=0),
+    ).reshape(d["b"], d["h"]).astype(dtype)
+    return a_tot, final.reshape(d["b"], d["h"], d["n"], d["p"])
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def ssd_state_summary(x, dt, A, B, C, chunk: int = 128):
     """Per-shard state-transformer summary: (total decay [b, h], final
@@ -264,17 +278,11 @@ def ssd_state_summary(x, dt, A, B, C, chunk: int = 128):
 
     The SSD recurrence over a token strip is the affine map
     `state_out = a_tot·state_in + S_fin`; this computes (a_tot, S_fin)
-    without the heavy intra-chunk output matmuls, so the sequence-parallel
-    path (`ssd_sharded`) can all-gather the per-shard summaries cheaply.
+    without the heavy intra-chunk output matmuls (standalone summary
+    entry point; `ssd_sharded` computes the same summary from its own
+    chunk stacks via the shared `_state_summary`).
     """
-    stacks = _ssd_stacks(x, dt, A, B, C, chunk)
-    final, _ = _ssd_carry(stacks, None, with_outputs=False)
-    d = stacks["dims"]
-    # total decay: product of per-chunk decays, in log space for stability
-    a_tot = jnp.exp(
-        jnp.sum(stacks["cum"][..., -1], axis=0),
-    ).reshape(d["b"], d["h"]).astype(x.dtype)
-    return a_tot, final.reshape(d["b"], d["h"], d["n"], d["p"])
+    return _state_summary(_ssd_stacks(x, dt, A, B, C, chunk), x.dtype)
 
 
 def ssd_sharded(x, dt, A, B, C, D=None, *, axis_name: str,
@@ -294,11 +302,7 @@ def ssd_sharded(x, dt, A, B, C, D=None, *, axis_name: str,
     """
     stacks = _ssd_stacks(x, dt, A, B, C, chunk)
     d = stacks["dims"]
-    S_fin, _ = _ssd_carry(stacks, None, with_outputs=False)
-    S_fin = S_fin.reshape(d["b"], d["h"], d["n"], d["p"])
-    a_tot = jnp.exp(
-        jnp.sum(stacks["cum"][..., -1], axis=0),
-    ).reshape(d["b"], d["h"]).astype(x.dtype)
+    a_tot, S_fin = _state_summary(stacks, x.dtype)
 
     a_all = jax.lax.all_gather(a_tot, axis_name)   # [ndev, b, h]
     S_all = jax.lax.all_gather(S_fin, axis_name)   # [ndev, b, h, n, p]

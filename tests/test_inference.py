@@ -47,6 +47,24 @@ class TestTiling:
         want = np.expm1(2.0 * np.log1p(data["noisy"]))
         np.testing.assert_allclose(out, want, rtol=1e-5)
 
+    def test_small_frame_pads_to_full_batches(self):
+        """A frame with fewer tiles than batch_tiles must wrap-around pad
+        to exact batch_tiles multiples — the exported-artifact path bakes
+        the batch into the module signature, so ragged batches hard-fail
+        (regression: `tiles[:pad_n]` under-padded when pad_n > n)."""
+        rng = np.random.default_rng(3)
+        data = {
+            "noisy": rng.uniform(0.1, 2.0, (16, 32, 3)).astype(np.float32),
+            "aux": rng.uniform(-1, 1, (16, 32, 7)).astype(np.float32),
+        }
+
+        def strict_apply(noisy, aux):  # 2 tiles, batch_tiles=8
+            assert noisy.shape[0] == 8, noisy.shape
+            return noisy
+
+        out = denoise_frame(strict_apply, data, tile=16, margin=8, batch_tiles=8)
+        np.testing.assert_allclose(out, data["noisy"], rtol=1e-5)
+
 
 class TestSpatialSharding:
     def test_halo_exchange_matches_unsharded(self):

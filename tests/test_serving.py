@@ -78,6 +78,46 @@ class TestExportRoundTrip:
         )
         assert manifest["model_name"] == "mamba"
 
+    def test_multi_platform_portable_rebuild(self, tmp_path):
+        """tools/export_model.py's multi-platform branch: a Pallas-path
+        model is rebuilt with `model.clone(...)` (regression: `.replace`
+        does not exist on flax Modules) and exports a cpu+tpu artifact —
+        TPU lowering works from a CPU host (jax.export cross-lowering)."""
+        model, variables = _tiny_afgsa()
+        model = model.clone(use_pallas=True)  # as the prod config sets
+        portable = {"use_pallas": False}
+        if hasattr(model, "fold_qkv"):
+            portable["fold_qkv"] = False
+        portable_model = model.clone(**portable)
+        assert portable_model.use_pallas is False
+        assert portable_model.num_sa == model.num_sa
+        out = export_denoiser(
+            portable_model, variables, tmp_path / "art",
+            window=16, batch_tiles=2, platforms=("cpu", "tpu"),
+        )
+        apply_fn, manifest = load_exported(out)
+        assert sorted(manifest["platforms"]) == ["cpu", "tpu"]
+        rng = np.random.default_rng(2)
+        n = jnp.asarray(rng.uniform(0, 2, (2, 16, 16, 3)), jnp.float32)
+        a = jnp.asarray(rng.standard_normal((2, 16, 16, 7)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(n, a)),
+            np.asarray(portable_model.apply(variables, n, a)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_export_tool_rejects_unknown_option():
+    """Mistyped export.* overrides must error, not silently no-op."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import export_model
+
+    with pytest.raises(SystemExit, match="unknown export option"):
+        export_model.main(["export.windw=256"])
+
 
 class TestManifest:
     def test_fields(self, tmp_path):

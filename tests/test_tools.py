@@ -208,6 +208,23 @@ class TestInferenceAnalysis:
         assert ria.dataset_label("fftle0") == "fftle0*"
         assert ria.dataset_label("other") == "other†"
 
+    def test_clamped_axis_never_inverts(self):
+        """Values entirely below the quality-band floor (early-epoch
+        checkpoints) must fall back to the data band, not emit lo >= hi
+        (matplotlib renders that as an inverted axis)."""
+        for metric, vals in [
+            ("psnr", np.array([24.0, 27.5])),
+            ("ssim", np.array([0.41, 0.55])),
+            ("psnr", np.array([36.0, 41.0])),   # normal band still clamps
+            ("ssim", np.array([0.93, 0.97])),
+            ("rmse", np.array([1e-4, 9e-4])),
+        ]:
+            lo, hi = ria._clamped_axis(metric, vals)
+            assert lo < hi, (metric, vals, lo, hi)
+        # the reference clamp still applies when values sit in-band
+        lo, hi = ria._clamped_axis("psnr", np.array([36.0, 41.0]))
+        assert lo == 35.0 and hi == 42.0
+
 
 def test_report_prep_script(tmp_path):
     src = tmp_path / "runs"

@@ -55,6 +55,11 @@ def main(argv=None) -> None:
         key, _, val = ov.partition("=")
         if key.startswith("export."):
             name = key.split(".", 1)[1]
+            if name not in export_opts:
+                raise SystemExit(
+                    f"unknown export option {key!r} "
+                    f"(expected one of: {', '.join(sorted(export_opts))})",
+                )
             cur = export_opts.get(name)
             export_opts[name] = type(cur)(val) if isinstance(cur, int) else val
         else:
@@ -90,7 +95,7 @@ def main(argv=None) -> None:
         portable = {"use_pallas": False}
         if hasattr(model, "fold_qkv"):
             portable["fold_qkv"] = False
-        model = model.replace(**portable)
+        model = model.clone(**portable)
 
     out = export_denoiser(
         model,

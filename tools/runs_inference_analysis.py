@@ -152,9 +152,16 @@ def _clamped_axis(metric: str, vals: np.ndarray) -> tuple[float, float]:
     lo, hi = float(np.min(vals)), float(np.max(vals))
     if metric == "rmse":
         return max(0.0, lo - 3e-4), hi + 3e-4
+    pad = 1.0 if metric == "psnr" else 0.01
     if metric == "psnr":
-        return max(30.0, lo - 1.0), hi + 1.0
-    return max(0.9, lo - 0.01), min(1.0, hi + 0.01)
+        clo, chi = max(30.0, lo - pad), hi + pad
+    else:
+        clo, chi = max(0.9, lo - pad), min(1.0, hi + pad)
+    if clo >= chi:  # every value below the quality-band floor (e.g. an
+        # early-epoch checkpoint): fall back to the data band instead of
+        # emitting an inverted axis
+        return lo - pad, hi + pad
+    return clo, chi
 
 
 def plot_dataset_metrics(
