@@ -15,6 +15,15 @@ field, multiple of the attention block so every tile satisfies the
 the jitted generator, stitched by cropping the margins, and scored with
 the training metrics (relative MSE in linear HDR; PSNR/SSIM on tone-mapped
 uint8). Optionally writes the denoised EXR.
+
+By default (`inference.fused=true`) the tiling, batching, and stitching
+all run on-device inside one XLA program per frame
+(`make_fused_frame_apply`): the frame crosses the host↔device link once
+each way instead of shipping every overlapping window and paying a
+dispatch round-trip per tile batch — measured 3.2× faster at 720p
+(BASELINE.md round-3 inference table). `inference.fused=false` restores
+the host-loop path (useful for debugging individual tile batches);
+`inference.spatial=true` instead shards whole frames across devices.
 """
 
 from __future__ import annotations
@@ -118,15 +127,106 @@ def denoise_frame(
             [aux_tiles, np.take(aux_tiles, np.arange(pad_n) % n, axis=0)], 0,
         )
 
+    # dispatch every batch before transferring any output: jax dispatch is
+    # async, so this overlaps device compute with the host<->device copies
+    # instead of stalling the device on one np.asarray per batch (measured
+    # in tools/bench_inference.py). Peak footprint is all tile buffers at
+    # once — ~5 GB even for an 8K frame at the default 4x-overlap
+    # geometry, well inside HBM.
     outs = []
     for i in range(0, len(noisy_tiles), batch_tiles):
-        o = apply_fn(
-            jnp.asarray(noisy_tiles[i : i + batch_tiles]),
-            jnp.asarray(aux_tiles[i : i + batch_tiles]),
+        outs.append(
+            apply_fn(
+                jnp.asarray(noisy_tiles[i : i + batch_tiles]),
+                jnp.asarray(aux_tiles[i : i + batch_tiles]),
+            ),
         )
-        outs.append(np.asarray(o, np.float32))
-    out_tiles = np.concatenate(outs, 0)[:n]
+    out_tiles = np.concatenate(
+        [np.asarray(o, np.float32) for o in outs], 0,
+    )[:n]
     out_log = stitch_tiles(out_tiles, meta, tile, margin)
+    return postprocess_specular(out_log)
+
+
+def make_fused_frame_apply(
+    apply_fn,
+    frame_hw: tuple[int, int],
+    tile: int = 64,
+    margin: int = 32,
+    batch_tiles: int = 8,
+):
+    """Build a jitted whole-frame denoiser: edge-pad, overlapping-window
+    gather, batched model apply (`lax.scan` over tile batches), and
+    margin-crop stitch all inside ONE XLA program.
+
+    The host-loop path (`denoise_frame`) ships every overlapping window
+    across the host↔device link and pays a dispatch round-trip per tile
+    batch — at the default 4×-overlap geometry that is ~4× the frame's
+    bytes in and one round-trip per 8 tiles. Here the frame crosses once
+    in, once out, and the windowing/stitching lives on device where the
+    copies are HBM-speed. Numerically identical to `denoise_frame` (same
+    windows, same batch composition, same edge-replicate padding; pinned
+    by tests/test_inference.py).
+
+    Returns `run(noisy_log [H,W,3] fp32, aux [H,W,C] fp32) -> [H,W,3]`
+    operating in the model's log space — compiled per frame shape, so
+    build once and reuse across equal-sized frames."""
+    h, w = frame_hw
+    size = tile + 2 * margin
+    ht = -(-h // tile)
+    wt = -(-w // tile)
+    n = ht * wt
+    pad_n = (-n) % batch_tiles
+    coords = [(ty * tile, tx * tile) for ty in range(ht) for tx in range(wt)]
+    # wrap-around repeat like denoise_frame: duplicate tiles rewrite
+    # identical content into the output, so the scatter is a no-op
+    coords += [coords[i % n] for i in range(pad_n)]
+    ys = jnp.asarray([c[0] for c in coords], jnp.int32).reshape(-1, batch_tiles)
+    xs = jnp.asarray([c[1] for c in coords], jnp.int32).reshape(-1, batch_tiles)
+
+    @jax.jit
+    def run(noisy_log, aux):
+        ph, pw = ht * tile - h, wt * tile - w
+        pad = ((margin, margin + ph), (margin, margin + pw), (0, 0))
+        noisy_p = jnp.pad(noisy_log, pad, mode="edge")
+        aux_p = jnp.pad(aux, pad, mode="edge")
+
+        def gather(img, y0, x0):
+            return jax.lax.dynamic_slice(
+                img, (y0, x0, 0), (size, size, img.shape[-1]),
+            )
+
+        def body(out, yx):
+            yb, xb = yx
+            tiles_n = jax.vmap(lambda y, x: gather(noisy_p, y, x))(yb, xb)
+            tiles_a = jax.vmap(lambda y, x: gather(aux_p, y, x))(yb, xb)
+            o = apply_fn(tiles_n, tiles_a)
+            o = o[:, margin : margin + tile, margin : margin + tile, :]
+
+            def scat(i, acc):
+                return jax.lax.dynamic_update_slice(
+                    acc, o[i].astype(acc.dtype), (yb[i], xb[i], 0),
+                )
+
+            return jax.lax.fori_loop(0, batch_tiles, scat, out), None
+
+        out0 = jnp.zeros((ht * tile, wt * tile, noisy_log.shape[-1]), jnp.float32)
+        out, _ = jax.lax.scan(body, out0, (ys, xs))
+        return out[:h, :w]
+
+    return run
+
+
+def denoise_frame_fused(fused_apply, data: dict[str, np.ndarray]) -> np.ndarray:
+    """`denoise_frame` semantics through a `make_fused_frame_apply`
+    program: host does only the log-space pre/post transforms; one device
+    dispatch per frame."""
+    noisy_log = preprocess_specular(data["noisy"]).astype(np.float32)
+    aux = data["aux"].astype(np.float32).copy()
+    aux[..., :3] = preprocess_normal(aux[..., :3])
+    out_log = np.asarray(
+        fused_apply(jnp.asarray(noisy_log), jnp.asarray(aux)), np.float32,
+    )
     return postprocess_specular(out_log)
 
 
@@ -262,6 +362,7 @@ def run_inference(
     scale: float = 1.0,
     spatial: bool = False,
     from_export: str | None = None,
+    fused: bool = True,
 ) -> list[dict]:
     if from_export:
         # AOT serving artifact (tools/export_model.py): fixed tile window
@@ -334,6 +435,7 @@ def run_inference(
             )
 
     results = []
+    fused_cache: dict[tuple[int, int], object] = {}
     for stem, noisy_path, gt_path in find_frame_pairs(images_dir, noisy_spp, gt_spp):
         start = time.time()
         data = preprocess_data(noisy_path, gt_path, scale=scale)
@@ -345,6 +447,15 @@ def run_inference(
             out_lin = denoise_frame_spatial(
                 sharded_apply, data, mesh, margin=margin,
             )
+        elif fused:
+            hw = data["noisy"].shape[:2]
+            if hw not in fused_cache:
+                # compiled per frame shape; equal-sized frames reuse it
+                fused_cache[hw] = make_fused_frame_apply(
+                    apply_fn, hw, tile=tile, margin=margin,
+                    batch_tiles=batch_tiles,
+                )
+            out_lin = denoise_frame_fused(fused_cache[hw], data)
         else:
             out_lin = denoise_frame(
                 apply_fn, data, tile=tile, margin=margin, batch_tiles=batch_tiles,
@@ -388,7 +499,8 @@ def main(argv=None) -> None:
     # inference.* overrides are consumed here, the rest go to the config
     infer_opts = {"tile": 64, "margin": 32, "batch_tiles": 8, "save_exr": False,
                   "images_dir": None, "out_dir": None, "noisy_spp": 32,
-                  "gt_spp": 1024, "spatial": False, "from_export": None}
+                  "gt_spp": 1024, "spatial": False, "from_export": None,
+                  "fused": True}
     cfg_overrides = []
     for ov in args.overrides:
         key, _, val = ov.partition("=")
@@ -427,6 +539,7 @@ def main(argv=None) -> None:
         scale=cfg.data.images.scale,
         spatial=infer_opts["spatial"],
         from_export=infer_opts["from_export"],
+        fused=infer_opts["fused"],
     )
 
 

@@ -11,8 +11,10 @@ import pytest
 
 from pixel_heal_thyself_tpu.inference import (
     denoise_frame,
+    denoise_frame_fused,
     extract_tiles,
     find_frame_pairs,
+    make_fused_frame_apply,
     run_inference,
     stitch_tiles,
 )
@@ -64,6 +66,60 @@ class TestTiling:
 
         out = denoise_frame(strict_apply, data, tile=16, margin=8, batch_tiles=8)
         np.testing.assert_allclose(out, data["noisy"], rtol=1e-5)
+
+
+class TestFusedFrameApply:
+    """Device-side tiling (`make_fused_frame_apply`) must reproduce the
+    host-loop path exactly — same windows, same batch composition, same
+    edge-replicate padding."""
+
+    @staticmethod
+    def _conv_apply(noisy, aux):
+        # translation-variant-detecting model: a fixed random 3x3 conv over
+        # noisy plus an aux projection — any window/stitch misalignment in
+        # the fused gather/scatter shows up as a mismatch
+        kr = jax.random.PRNGKey(42)
+        k = jax.random.normal(kr, (3, 3, 3, 3), jnp.float32) * 0.2
+        ka = jax.random.normal(jax.random.split(kr)[0], (1, 1, 7, 3)) * 0.1
+        np_ = jnp.pad(noisy, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        dn = ("NHWC", "HWIO", "NHWC")
+        y = jax.lax.conv_general_dilated(np_, k, (1, 1), "VALID",
+                                         dimension_numbers=dn)
+        return y + jax.lax.conv_general_dilated(aux, ka, (1, 1), "VALID",
+                                                dimension_numbers=dn)
+
+    def test_matches_host_loop_path(self):
+        rng = np.random.default_rng(7)
+        data = {
+            "noisy": rng.uniform(0.1, 2.0, (50, 70, 3)).astype(np.float32),
+            "aux": rng.uniform(-1, 1, (50, 70, 7)).astype(np.float32),
+        }
+        want = denoise_frame(
+            self._conv_apply, data, tile=16, margin=8, batch_tiles=4,
+        )
+        fused = make_fused_frame_apply(
+            self._conv_apply, (50, 70), tile=16, margin=8, batch_tiles=4,
+        )
+        got = denoise_frame_fused(fused, data)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_wrap_padding_fewer_tiles_than_batch(self):
+        """A 2-tile frame at batch_tiles=8 exercises the wrap-around
+        duplicate coordinates; duplicate scatters must be output no-ops."""
+        rng = np.random.default_rng(8)
+        data = {
+            "noisy": rng.uniform(0.1, 2.0, (16, 32, 3)).astype(np.float32),
+            "aux": rng.uniform(-1, 1, (16, 32, 7)).astype(np.float32),
+        }
+        want = denoise_frame(
+            self._conv_apply, data, tile=16, margin=8, batch_tiles=8,
+        )
+        fused = make_fused_frame_apply(
+            self._conv_apply, (16, 32), tile=16, margin=8, batch_tiles=8,
+        )
+        got = denoise_frame_fused(fused, data)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
 class TestSpatialSharding:

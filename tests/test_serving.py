@@ -184,3 +184,32 @@ class TestInferenceIntegration:
         got = denoise_frame(apply_fn, data, tile=8, margin=4, batch_tiles=2)
         want = denoise_frame(live_fn, data, tile=8, margin=4, batch_tiles=2)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_fused_frame_through_artifact(self, tmp_path):
+        """The exported module must also trace inside the fused whole-frame
+        program (`run_inference`'s default path wraps the artifact call in
+        an outer jit with device-side tiling)."""
+        from pixel_heal_thyself_tpu.inference import (
+            denoise_frame,
+            denoise_frame_fused,
+            make_fused_frame_apply,
+        )
+
+        model, variables = _tiny_afgsa()
+        out = export_denoiser(
+            model, variables, tmp_path / "art",
+            window=16, batch_tiles=2, platforms=("cpu",),
+        )
+        apply_fn, _ = load_exported(out)
+
+        rng = np.random.default_rng(3)
+        data = {
+            "noisy": rng.uniform(0.1, 2.0, (24, 40, 3)).astype(np.float32),
+            "aux": rng.uniform(-1, 1, (24, 40, 7)).astype(np.float32),
+        }
+        fused = make_fused_frame_apply(
+            apply_fn, (24, 40), tile=8, margin=4, batch_tiles=2,
+        )
+        got = denoise_frame_fused(fused, data)
+        want = denoise_frame(apply_fn, data, tile=8, margin=4, batch_tiles=2)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
