@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pixel_heal_thyself_tpu.models.layers import Conv, ConvBlock
+from pixel_heal_thyself_tpu.models.layers import Conv, ConvBlock, apply_act
 from pixel_heal_thyself_tpu.ops.attention import block_halo_attention
 from pixel_heal_thyself_tpu.ops.curves import (
     CurveOrder,
@@ -96,6 +96,141 @@ class _ProjKernel(nn.Module):
             "kernel", kaiming_normal_fan_out, (1, 1, cin, self.features),
             jnp.float32,
         )
+
+
+class _ConvParams(nn.Module):
+    """Declares a `Conv`-compatible kernel+bias pair (same names, shapes,
+    initializers → bit-identical init) and returns them instead of
+    applying them — the `_ProjKernel` pattern with a bias."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        ks = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            torch_default_kernel_init,
+            (ks, ks, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias",
+            torch_default_bias_init(ks * ks * cin),
+            (self.features,),
+            jnp.float32,
+        )
+        return kernel, bias
+
+
+class _ConvBlockParams(nn.Module):
+    """`ConvBlock`-compatible param holder: nests `_ConvParams` under the
+    child name `Conv_0`, so the param tree path
+    `<name>/Conv_0/{kernel,bias}` is identical to a real ConvBlock —
+    checkpoints, torch imports, and golden tests see no difference."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return _ConvParams(self.features, self.kernel_size, name="Conv_0")(cin)
+
+
+def multi_scale_encode(
+    x: jnp.ndarray,
+    features: int,
+    slopes: tuple,
+    padding_mode: str,
+    fold: bool,
+    dtype,
+    name_offset: int,
+    pad_fn=None,
+) -> jnp.ndarray:
+    """The reference's three parallel 1×1/3×3/5×5 encoder convs
+    (`model.py:719-728`), with a TPU execution choice. Called from inside
+    a parent module's `@nn.compact` body — the submodules it declares
+    attach to the CALLER's scope under explicit `ConvBlock_<i>` names, so
+    the param tree is byte-identical to the literal three-ConvBlock form
+    in both modes (checkpoints, torch imports, goldens unchanged).
+
+    - `fold=False`: three separate convs + concat (the literal form).
+    - `fold=True`: ONE 5×5 convolution whose kernel is the three branch
+      kernels embedded in zero-padded 5×5 envelopes, concatenated along
+      the output channels. Numerically exact up to fp reassociation of
+      the tap sum (measured ≤2.4e-7 through a full fp32 model): the
+      embedded zeros contribute exact-zero products, and
+      reflect/replicate/zero padding values at distance d don't depend
+      on the total pad width — but the
+      MXU sees one [5·5·Cin → 3·E] contraction instead of three
+      channel-starved ones (Cin is 3 or 7 here — the profiled 4.5–21
+      TF/s structurally low-MFU ops, BASELINE.md round-3 ceiling table),
+      and the branch concat copy disappears.
+
+    `slopes` are the per-branch leaky-relu negative slopes (0.0 = relu) —
+    applied as one fused per-channel-group elementwise op in fold mode.
+
+    `pad_fn` (optional) replaces `pad2d` like ConvBlock's pad_fn — the
+    sequence-sharded Mamba path injects the cross-device row-halo
+    exchange; its pad-2 rows are the true neighbor rows, whose inner ring
+    equals the pad-1 rows, so the fold stays exact under halo padding.
+    """
+    from pixel_heal_thyself_tpu.ops.bias import bias_add
+    from pixel_heal_thyself_tpu.ops.padding import pad2d
+
+    e = features
+    acts = ["relu" if s == 0.0 else "leakyrelu" for s in slopes]
+    if not fold:
+        branches = []
+        for i, ksz in enumerate((1, 3, 5)):
+            branches.append(
+                ConvBlock(
+                    e,
+                    kernel_size=ksz,
+                    padding=ksz // 2,
+                    padding_mode=padding_mode,
+                    act_type=acts[i],
+                    dtype=dtype,
+                    pad_fn=pad_fn,
+                    name=f"ConvBlock_{name_offset + i}",
+                )(x),
+            )
+        return jnp.concatenate(branches, axis=-1)
+
+    cin = x.shape[-1]
+    ks, bs = [], []
+    for i, ksz in enumerate((1, 3, 5)):
+        k, b = _ConvBlockParams(
+            e, ksz, name=f"ConvBlock_{name_offset + i}",
+        )(cin)
+        ks.append(k)
+        bs.append(b)
+    kernel = jnp.concatenate(
+        [
+            jnp.pad(ks[0], ((2, 2), (2, 2), (0, 0), (0, 0))),
+            jnp.pad(ks[1], ((1, 1), (1, 1), (0, 0), (0, 0))),
+            ks[2],
+        ],
+        axis=-1,
+    )
+    bias = jnp.concatenate(bs)
+    pad = pad_fn if pad_fn is not None else pad2d
+    xp = pad(x, 2, padding_mode).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        xp,
+        kernel.astype(dtype),
+        (1, 1),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = bias_add(y, bias.astype(dtype))
+    if all(s == slopes[0] for s in slopes):
+        return apply_act(y, acts[0])
+    slope_vec = jnp.repeat(
+        jnp.asarray(slopes, dtype), e, total_repeat_length=3 * e,
+    )
+    return jnp.where(y >= 0, y, slope_vec * y)
 
 
 class AFGSA(nn.Module):
@@ -249,6 +384,9 @@ class AFGSANet(nn.Module):
     use_pallas: bool = False
     fold_qkv: bool = False
     enc_ch: int = 256
+    # execute each 3-branch encoder as one folded 5×5 conv (numerically
+    # exact — see multi_scale_encode); flip off to get the literal form
+    fold_encoder: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -259,44 +397,30 @@ class AFGSANet(nn.Module):
         aux = aux.astype(self.dtype)
         cb = partial(ConvBlock, dtype=self.dtype)
 
-        n1 = cb(self.enc_ch, kernel_size=1, act_type="relu")(x)
-        n3 = cb(
-            self.enc_ch,
-            kernel_size=3,
-            padding=1,
-            padding_mode=self.padding_mode,
-            act_type="relu",
-        )(x)
-        n5 = cb(
-            self.enc_ch,
-            kernel_size=5,
-            padding=2,
-            padding_mode=self.padding_mode,
-            act_type="relu",
-        )(x)
-        out = cb(self.base_ch, kernel_size=1, act_type="relu")(
-            jnp.concatenate([n1, n3, n5], axis=-1),
+        # all ConvBlocks are explicitly named with their historical
+        # auto-names: multi_scale_encode declares ConvBlock_{0..2}/{4..6}
+        # itself (folded or literal — same tree), and flax forbids mixing
+        # explicit names with the auto counter
+        n_cat = multi_scale_encode(
+            x, self.enc_ch, (0.0, 0.0, 0.0), self.padding_mode,
+            self.fold_encoder, self.dtype, name_offset=0,
         )
+        out = cb(
+            self.base_ch, kernel_size=1, act_type="relu", name="ConvBlock_3",
+        )(n_cat)
 
-        a1 = cb(self.enc_ch, kernel_size=1, act_type="relu")(aux)
-        a3 = cb(
-            self.enc_ch,
-            kernel_size=3,
-            padding=1,
-            padding_mode=self.padding_mode,
-            act_type="leakyrelu",
-        )(aux)
-        a5 = cb(
-            self.enc_ch,
-            kernel_size=5,
-            padding=2,
-            padding_mode=self.padding_mode,
-            act_type="leakyrelu",
-        )(aux)
-        a = cb(self.base_ch, kernel_size=1, act_type="leakyrelu")(
-            jnp.concatenate([a1, a3, a5], axis=-1),
+        a_cat = multi_scale_encode(
+            aux, self.enc_ch, (0.0, 0.2, 0.2), self.padding_mode,
+            self.fold_encoder, self.dtype, name_offset=4,
         )
-        a = cb(self.base_ch, kernel_size=1, act_type="leakyrelu")(a)
+        a = cb(
+            self.base_ch, kernel_size=1, act_type="leakyrelu",
+            name="ConvBlock_7",
+        )(a_cat)
+        a = cb(
+            self.base_ch, kernel_size=1, act_type="leakyrelu",
+            name="ConvBlock_8",
+        )(a)
 
         for i in range(1, self.num_sa + 1):
             block_cls = TransformerBlock
@@ -323,6 +447,7 @@ class AFGSANet(nn.Module):
             padding=1,
             padding_mode=self.padding_mode,
             act_type="relu",
+            name="ConvBlock_9",
         )(out)
         out = cb(
             self.base_ch,
@@ -330,6 +455,7 @@ class AFGSANet(nn.Module):
             padding=1,
             padding_mode=self.padding_mode,
             act_type="relu",
+            name="ConvBlock_10",
         )(out)
         out = cb(
             self.input_channels,
@@ -337,6 +463,7 @@ class AFGSANet(nn.Module):
             padding=1,
             padding_mode="zeros",
             act_type=None,
+            name="ConvBlock_11",
         )(out)
         # global residual in fp32
         return out.astype(jnp.float32) + x.astype(jnp.float32)

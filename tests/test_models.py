@@ -103,6 +103,31 @@ class TestAFGSANet:
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
 
+    @pytest.mark.parametrize("mode", ["zeros", "reflect", "replicate"])
+    def test_encoder_fold_is_exact(self, mode):
+        """fold_encoder=True executes each 3-branch multi-scale encoder as
+        ONE 5×5 conv (multi_scale_encode) — same param tree, numerically
+        exact up to fp reassociation of the tap sum, under every padding
+        mode (pad values at distance d don't depend on total pad width)."""
+        kw = dict(
+            base_ch=16, enc_ch=16, num_sa=1, num_gcp=0, num_heads=2,
+            padding_mode=mode,
+        )
+        folded = AFGSANet(fold_encoder=True, **kw)
+        literal = AFGSANet(fold_encoder=False, **kw)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+        aux = jnp.asarray(rng.standard_normal((2, 16, 16, 7)).astype(np.float32))
+        p_f = folded.init(jax.random.PRNGKey(0), x, aux)
+        p_l = literal.init(jax.random.PRNGKey(0), x, aux)
+        # byte-identical param trees: checkpoints/imports see no difference
+        assert jax.tree.structure(p_f) == jax.tree.structure(p_l)
+        for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_l)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        out_f = np.asarray(folded.apply(p_f, x, aux))
+        out_l = np.asarray(literal.apply(p_f, x, aux))
+        np.testing.assert_allclose(out_f, out_l, rtol=2e-5, atol=2e-6)
+
     def test_bf16_compute(self):
         net = AFGSANet(base_ch=16, enc_ch=16, num_sa=1, num_gcp=0, num_heads=2, dtype=jnp.bfloat16)
         x = jnp.ones((1, 8, 8, 3))
