@@ -20,8 +20,9 @@ By default (`inference.fused=true`) the tiling, batching, and stitching
 all run on-device inside one XLA program per frame
 (`make_fused_frame_apply`): the frame crosses the host↔device link once
 each way instead of shipping every overlapping window and paying a
-dispatch round-trip per tile batch — measured 3.2× faster at 720p
-(BASELINE.md round-3 inference table). `inference.fused=false` restores
+dispatch round-trip per tile batch — measured 2.2× faster at 720p at the
+training-parity tile-64/margin-32 geometry (9.35 → 4.19 s/frame,
+BASELINE.md round-4 inference table). `inference.fused=false` restores
 the host-loop path (useful for debugging individual tile batches);
 `inference.spatial=true` instead shards whole frames across devices.
 """
@@ -131,8 +132,10 @@ def denoise_frame(
     # async, so this overlaps device compute with the host<->device copies
     # instead of stalling the device on one np.asarray per batch (measured
     # in tools/bench_inference.py). Peak footprint is all tile buffers at
-    # once — ~5 GB even for an 8K frame at the default 4x-overlap
-    # geometry, well inside HBM.
+    # once — an 8K frame at the default 4×-overlap geometry holds ~8.2k
+    # 128² tiles × (10 input + 3 output) fp32 channels ≈ 7 GB, inside a
+    # 16 GB v5e but not by much; prefer inference.fused for big frames
+    # (one padded frame + one output resident instead of all windows).
     outs = []
     for i in range(0, len(noisy_tiles), batch_tiles):
         outs.append(
@@ -165,8 +168,9 @@ def make_fused_frame_apply(
     bytes in and one round-trip per 8 tiles. Here the frame crosses once
     in, once out, and the windowing/stitching lives on device where the
     copies are HBM-speed. Numerically identical to `denoise_frame` (same
-    windows, same batch composition, same edge-replicate padding; pinned
-    by tests/test_inference.py).
+    windows, same per-tile model inputs, same edge-replicate padding —
+    only the wrap-around padding tiles are batched first instead of last;
+    pinned by tests/test_inference.py).
 
     Returns `run(noisy_log [H,W,3] fp32, aux [H,W,C] fp32) -> [H,W,3]`
     operating in the model's log space — compiled per frame shape, so
@@ -178,9 +182,11 @@ def make_fused_frame_apply(
     n = ht * wt
     pad_n = (-n) % batch_tiles
     coords = [(ty * tile, tx * tile) for ty in range(ht) for tx in range(wt)]
-    # wrap-around repeat like denoise_frame: duplicate tiles rewrite
-    # identical content into the output, so the scatter is a no-op
-    coords += [coords[i % n] for i in range(pad_n)]
+    # wrap-around repeat like denoise_frame — but scattered FIRST, so the
+    # originals (scattered last) always win: even if a future model coupled
+    # samples across the batch, padding could never overwrite real output
+    # (the host path drops duplicates via [:n] for the same reason)
+    coords = [coords[i % n] for i in range(pad_n)] + coords
     ys = jnp.asarray([c[0] for c in coords], jnp.int32).reshape(-1, batch_tiles)
     xs = jnp.asarray([c[1] for c in coords], jnp.int32).reshape(-1, batch_tiles)
 

@@ -66,6 +66,12 @@ def main(argv=None) -> None:
         "for the dispatch-pipelining measurement",
     )
     args = ap.parse_args(argv)
+    if args.sync and args.fused:
+        ap.error(
+            "--sync forces a host transfer per tile batch, but --fused "
+            "traces apply_fn inside one jitted frame program (np.asarray "
+            "on tracers would crash); pick one",
+        )
 
     from pixel_heal_thyself_tpu.utils.compilation_cache import (
         enable_compilation_cache,
