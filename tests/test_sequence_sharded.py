@@ -181,3 +181,66 @@ class TestSeqShardedMamba:
         apply = make_seq_sharded_apply(model, params, mesh)
         with pytest.raises(ValueError, match="divisible"):
             apply(jnp.zeros((1, 18, 8, 3)), jnp.zeros((1, 18, 8, 7)))
+
+    def test_non_divisible_height_deviation_is_pinned(self):
+        """`denoise_frame_sequence` edge-pads non-device-multiple heights;
+        the padded rows' activations leak into the post-mixer conv FFNs of
+        the bottom real rows (inference.py docstring — the documented
+        approximation). Pin its SIZE and EXTENT so a regression can't
+        silently grow it:
+
+        - the leak reaches exactly the conv receptive field above the pad
+          boundary — encoder 5×5 (2 rows) + 2 blocks × 2 FFN 3×3 convs
+          (4) + 3 decoder 3×3 convs (3) = 9 rows for this config; every
+          row above that must match the unsharded model to fp-reorder
+          noise;
+        - inside the band the max abs deviation stays a bounded fraction
+          of the output scale (measured 0.097 rel at reflect padding,
+          random init; asserted < 0.15).
+        """
+        from pixel_heal_thyself_tpu.data.preprocessing import (
+            postprocess_specular,
+            preprocess_normal,
+            preprocess_specular,
+        )
+        from pixel_heal_thyself_tpu.inference import denoise_frame_sequence
+
+        model = MambaDenoiserNet(
+            base_ch=16, enc_ch=16, num_blocks=2, d_state=8, headdim=8,
+            expansion=2, num_gcp=0,
+        )
+        rng = np.random.default_rng(11)
+        h, w = 30, 8  # 4 devices → padded to 32 (2 fake bottom rows)
+        noisy = rng.uniform(0.05, 2.0, (h, w, 3)).astype(np.float32)
+        aux = rng.uniform(-1, 1, (h, w, 7)).astype(np.float32)
+
+        noisy_log = preprocess_specular(noisy).astype(np.float32)
+        aux_t = aux.copy()
+        aux_t[..., :3] = preprocess_normal(aux_t[..., :3])
+        params = model.init(
+            jax.random.PRNGKey(0), noisy_log[None], aux_t[None],
+        )
+        out_log = np.asarray(
+            jax.jit(model.apply)(
+                params, jnp.asarray(noisy_log[None]), jnp.asarray(aux_t[None]),
+            ),
+        )[0]
+        want = postprocess_specular(out_log)
+
+        mesh = make_mesh(
+            data_axis=4, model_axis=1, devices=jax.devices()[:4],
+        )
+        apply = make_seq_sharded_apply(model, params, mesh)
+        got = denoise_frame_sequence(apply, {"noisy": noisy, "aux": aux}, 4)
+
+        assert got.shape == want.shape
+        delta = np.abs(got - want)
+        band = 9  # conv receptive field above the pad boundary (see above)
+        np.testing.assert_allclose(
+            got[: h - band], want[: h - band], rtol=1e-4, atol=1e-5,
+            err_msg="padding leakage extended above the conv receptive field",
+        )
+        rel = delta.max() / np.abs(want).max()
+        assert rel < 0.15, (
+            f"non-divisible-height deviation grew: max rel delta {rel:.4f}"
+        )
