@@ -20,6 +20,24 @@ import orbax.checkpoint as ocp
 from pixel_heal_thyself_tpu.training.train_step import TrainState
 
 
+def _writer() -> ocp.Checkpointer:
+    """A PyTreeCheckpointer whose coordination involves ONLY the calling
+    process. The trainer gates every run-dir write on `is_main`
+    (trainer.py:_validate_and_save) — but Orbax's default save path ends
+    in a `sync_global_processes` barrier over ALL processes, so a
+    process-0-only save deadlocks the pod slice (process 1 finishes
+    validation, exits, and the shutdown barrier kills everyone).
+    `active_processes={index}` scopes those barriers to the caller; the
+    on-disk OCDBT format is identical to PyTreeCheckpointer's."""
+    idx = jax.process_index()
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(use_ocdbt=True, use_zarr3=False),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=idx, active_processes={idx},
+        ),
+    )
+
+
 def _to_pytree(gstate: TrainState, dstate: TrainState, epoch: int) -> dict:
     return {
         "g": {
@@ -40,7 +58,7 @@ def _to_pytree(gstate: TrainState, dstate: TrainState, epoch: int) -> dict:
 
 def save_checkpoint(path: str | Path, gstate: TrainState, dstate: TrainState, epoch: int) -> None:
     path = Path(path).resolve()
-    with ocp.PyTreeCheckpointer() as ckptr:
+    with _writer() as ckptr:
         ckptr.save(
             path,
             jax.tree.map(np.asarray, _to_pytree(gstate, dstate, epoch)),
@@ -77,7 +95,7 @@ def restore_checkpoint(
 
 def save_params(path: str | Path, params: Any) -> None:
     """Params-only export (deploy/inference artifact)."""
-    with ocp.PyTreeCheckpointer() as ckptr:
+    with _writer() as ckptr:
         ckptr.save(Path(path).resolve(), jax.tree.map(np.asarray, params), force=True)
 
 

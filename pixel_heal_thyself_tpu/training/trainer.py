@@ -181,7 +181,8 @@ class BaseTrainer:
         patches_dir = self.cfg.data.patches.dir
         train_path = os.path.join(patches_dir, "train.h5")
         val_path = os.path.join(patches_dir, "val.h5")
-        if not (os.path.exists(train_path) and os.path.exists(val_path)):
+        need_build = not (os.path.exists(train_path) and os.path.exists(val_path))
+        if need_build:
             # multi-host: only process 0 builds into the (shared) data dir —
             # concurrent writers would corrupt the stores; everyone else
             # waits at the barrier and then reads the finished files
@@ -215,10 +216,16 @@ class BaseTrainer:
                     scale=self.cfg.data.images.scale,
                     deterministic=self.deterministic,
                 ).construct_hdf5()
-            if jax.process_count() > 1:
-                from jax.experimental import multihost_utils
+        if jax.process_count() > 1:
+            # barrier runs UNCONDITIONALLY: gating it on need_build races —
+            # a non-main process that first checks the store paths after
+            # process 0 finished building would see them present, skip its
+            # barrier call, and leave process 0 blocked in
+            # sync_global_devices forever (or misaligned with the train
+            # step's collectives)
+            from jax.experimental import multihost_utils
 
-                multihost_utils.sync_global_devices("pht_dataset_build")
+            multihost_utils.sync_global_devices("pht_dataset_build")
 
         from pixel_heal_thyself_tpu.parallel.mesh import batch_sharding, replicated
 
@@ -406,9 +413,11 @@ class BaseTrainer:
             epoch_metrics: list[dict] = []
             end = start
             i_batch = -1
+            io_total = 0.0
             for i_batch, batch in enumerate(train_loader):
                 end_io = time.time()
                 io_took = end_io - end
+                io_total += io_took
                 # profiler trace of a steady-state window (reference had no
                 # tracing at all, SURVEY.md §5; iter_time/io_time retained).
                 # Short epochs clamp the window so the trace always closes.
@@ -447,10 +456,16 @@ class BaseTrainer:
             epoch_d = float(
                 np.sum([np.asarray(m["d_loss"]) for m in epoch_metrics]),
             ) / batch_size / max(1, n_iters)
+            # io share = time the step loop spent blocked in the loader
+            # (reference logs iter_time/io_time per 10 iters,
+            # base_trainer.py:459-467 — its known CPU bottleneck; the
+            # epoch aggregate makes SURVEY hard-part #5 measurable here)
             logger.info(
                 f"[Train] epoch={epoch + 1} summary: g_loss={epoch_g:.4f} "
                 f"d_loss={epoch_d:.4f} time={int(end - start)}s "
-                f"({n_train / max(1e-9, end - start):.1f} patches/sec)",
+                f"({n_train / max(1e-9, end - start):.1f} patches/sec, "
+                f"io {io_total:.1f}s = "
+                f"{100 * io_total / max(1e-9, end - start):.0f}%)",
             )
             if self.is_main:
                 with open(

@@ -27,6 +27,7 @@ import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 WORKER = REPO / "tests" / "multihost_worker.py"
+TRAINER_WORKER = REPO / "tests" / "multihost_trainer_worker.py"
 
 
 def _make_patch_store(path: Path, n: int = 12, patch: int = 16) -> None:
@@ -49,10 +50,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_worker(proc_id, nproc, local_devices, h5, port):
+def _run_worker(proc_id, nproc, local_devices, h5, port, worker=WORKER):
     return subprocess.Popen(
         [
-            sys.executable, str(WORKER),
+            sys.executable, str(worker),
             str(proc_id), str(nproc), str(local_devices), str(h5), str(port),
         ],
         stdout=subprocess.PIPE,
@@ -103,3 +104,53 @@ def test_two_process_dp_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         results[0]["losses"], ref["losses"], rtol=1e-4, atol=1e-6,
     )
+
+
+@pytest.mark.slow
+def test_two_process_four_device_trainer(tmp_path):
+    """VERDICT r3 #6 — the pod-slice topology: 2 processes × 4 virtual
+    devices each running the REAL `AFGSATrainer.train()` over one shared
+    working directory. Exercises together: jax.distributed bootstrap,
+    main-only dataset build + the build barrier (process 1 must wait, not
+    race the store files), host_batch_bounds disjoint loading over an
+    8-way data mesh, mesh placement, and process-0-only checkpoint and
+    txt-artifact writes. The artifacts must be byte-identical to a
+    single-process 8-device run of the same config (the global math is
+    one XLA program either way)."""
+    # single-process baseline: 1 proc × 8 devices
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    p = _run_worker(0, 1, 8, single_dir, 0, worker=TRAINER_WORKER)
+    out, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, out
+    ref = _parse(out)
+    run_rel = Path(ref["output_dir"])
+    ref_loss = (single_dir / run_rel / "train_loss.txt").read_text()
+    ref_eval = (single_dir / run_rel / "evaluation.txt").read_text()
+
+    # pod-slice: 2 procs × 4 devices, one shared cwd
+    shared_dir = tmp_path / "shared"
+    shared_dir.mkdir()
+    port = _free_port()
+    procs = [
+        _run_worker(i, 2, 4, shared_dir, port, worker=TRAINER_WORKER)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    results = {r["proc"]: r for r in map(_parse, outs)}
+    assert results[0]["is_main"] and not results[1]["is_main"]
+
+    run_dir = shared_dir / Path(results[0]["output_dir"])
+    # process-0-only writes: exactly one model_epoch dir (a second writer
+    # would have created a create_folder `_N`-suffixed duplicate)
+    epoch_dirs = [
+        d for d in os.listdir(run_dir) if d.startswith("model_epoch")
+    ]
+    assert epoch_dirs == ["model_epoch1"], epoch_dirs
+    assert (run_dir / "model_epoch1" / "state").is_dir()
+
+    # same global trajectory as the single-process mesh, byte-for-byte
+    assert (run_dir / "train_loss.txt").read_text() == ref_loss
+    assert (run_dir / "evaluation.txt").read_text() == ref_eval
