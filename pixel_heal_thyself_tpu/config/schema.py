@@ -34,6 +34,12 @@ class ImagesConfig:
     # reference's bundled CI EXRs are not redistributable)
     synthesize: bool = False
     synthetic_size: int = 128
+    # relative MC-noise coefficient of the synthetic renders: the noisy
+    # channel's std is `synthetic_noise / sqrt(spp)` of the radiance.
+    # 3.0 ≈ a very noisy 32spp channel (historic default); ~0.75 lands
+    # denoised output in the reference tooling's 35–43 dB design band
+    # (BASELINE.md round-4 quality-band validation)
+    synthetic_noise: float = 3.0
 
 
 @dataclass

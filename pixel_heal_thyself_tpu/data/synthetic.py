@@ -55,8 +55,15 @@ def generate_scene(
     hdr_scale: float = 4.0,
     noisy_spp: int = 32,
     gt_spp: int = 1024,
+    noise_scale: float = 3.0,
 ):
-    """One scene: returns (gt_groups, noisy_groups) channel dicts."""
+    """One scene: returns (gt_groups, noisy_groups) channel dicts.
+
+    `noise_scale` is the relative-MC-noise coefficient (std of the noisy
+    channel = `noise_scale / sqrt(spp)` of the radiance). 3.0 is the
+    historic "very noisy 32spp" default; lower values model cleaner
+    renders — the quality-band validation knob
+    (`data.images.synthetic_noise`, VERDICT r3 #4)."""
     radiance = _smooth_field(rng, height, width, 3) ** 2 * hdr_scale
     albedo = np.clip(_smooth_field(rng, height, width, 3), 0.05, 1.0)
     depth = _smooth_field(rng, height, width, 1) * 10.0
@@ -66,7 +73,7 @@ def generate_scene(
     def render(spp: int):
         # MC noise: relative, heavier in bright regions, ~1/sqrt(spp)
         noise = rng.standard_normal(radiance.shape).astype(np.float32)
-        noisy = radiance * (1.0 + noise * (3.0 / np.sqrt(spp)))
+        noisy = radiance * (1.0 + noise * (noise_scale / np.sqrt(spp)))
         return np.clip(noisy, 0.0, None).astype(np.float32)
 
     gt_groups = {"default": render(gt_spp)}
@@ -86,6 +93,7 @@ def generate_dataset(
     width: int = 128,
     noisy_spp: int = 32,
     gt_spp: int = 1024,
+    noise_scale: float = 3.0,
     seed: int = 0,
 ) -> None:
     """Write a full synthetic dataset tree under `images_dir`."""
@@ -99,6 +107,7 @@ def generate_dataset(
     for scene in scenes:
         gt_groups, noisy_groups = generate_scene(
             rng, height, width, noisy_spp=noisy_spp, gt_spp=gt_spp,
+            noise_scale=noise_scale,
         )
         write_exr_groups(
             gt_dir / f"{scene}_{gt_spp}.exr", gt_groups, pixel_type="float",

@@ -202,6 +202,7 @@ class BaseTrainer:
                         self.cfg.data.images.dir,
                         height=self.cfg.data.images.synthetic_size,
                         width=self.cfg.data.images.synthetic_size,
+                        noise_scale=self.cfg.data.images.synthetic_noise,
                         seed=self.cfg.seed,
                     )
                 logger.info(f"Creating dataset: patches in {patches_dir}")

@@ -231,6 +231,22 @@ class TestSyntheticAndStore:
         # noisy at 32spp should differ from gt
         assert np.abs(noisy["default"] - gt["default"]).mean() > 1e-3
 
+    def test_noise_scale_knob(self):
+        """`noise_scale` controls the relative MC noise level (the
+        quality-band validation knob, BASELINE.md round 4): quartering
+        the coefficient quarters the noisy-vs-clean deviation."""
+        loud_gt, loud = generate_scene(
+            np.random.default_rng(5), 64, 64, noise_scale=3.0,
+        )
+        quiet_gt, quiet = generate_scene(
+            np.random.default_rng(5), 64, 64, noise_scale=0.75,
+        )
+        # same rng stream + same field draws -> identical radiance
+        loud_err = np.abs(loud["default"] - loud_gt["default"]).mean()
+        quiet_err = np.abs(quiet["default"] - quiet_gt["default"]).mean()
+        assert quiet_err < loud_err / 2.5
+        assert quiet_err > 0
+
     def test_full_pipeline_to_loader(self, tmp_path):
         images = tmp_path / "images"
         generate_dataset(images, height=96, width=96, seed=3)

@@ -8,6 +8,7 @@ xplane protobuf. This is the tool behind the step-composition numbers in
 BASELINE.md and the optimization targets in ROADMAP.md.
 
 Usage:  python tools/profile_train_step.py [--steps 3] [--trace-dir DIR]
+        python tools/profile_train_step.py --model mamba   # co-equal flagship
         python tools/profile_train_step.py --parse-only --trace-dir DIR
 """
 
@@ -22,7 +23,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(trace_dir: str, steps: int) -> None:
+def capture(trace_dir: str, steps: int, model: str = "afgsa") -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -42,7 +43,15 @@ def capture(trace_dir: str, steps: int) -> None:
     enable_compilation_cache()
     b, p = 8, 128
     use_pallas = jax.default_backend() not in ("cpu", "gpu")
-    g = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0)
+    if model == "mamba":
+        # mirror bench.py:_bench_mamba — batch 4, the 16k-token raster
+        # scan halves the feasible batch (BASELINE.md Mamba sections)
+        from pixel_heal_thyself_tpu.models.mamba import MambaDenoiserNet
+
+        b = 4
+        g = MambaDenoiserNet(dtype=jnp.bfloat16, num_gcp=0, height=p, width=p)
+    else:
+        g = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0)
     d = DiscriminatorVGG(input_size=p, dtype=jnp.bfloat16)
     g_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
     d_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
@@ -142,9 +151,10 @@ def main(argv=None) -> None:
     ap.add_argument("--trace-dir", default="/tmp/pht_trace")
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--top", type=int, default=18)
+    ap.add_argument("--model", choices=("afgsa", "mamba"), default="afgsa")
     args = ap.parse_args(argv)
     if not args.parse_only:
-        capture(args.trace_dir, args.steps)
+        capture(args.trace_dir, args.steps, args.model)
     parse(args.trace_dir, args.steps, args.top)
 
 
