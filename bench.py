@@ -29,6 +29,17 @@ enable_compilation_cache()
 
 REF_A100_PATCHES_PER_SEC = 40.0  # derived in BASELINE.md, see module docstring
 
+# The Mamba denoiser's own denominator (VERDICT r3 #3) — derived in
+# BASELINE.md "Derivation of REF_A100_MAMBA_PATCHES_PER_SEC": XLA-counted
+# 1.438 TFLOP/sample for the full GAN step (tools/flops_train_step.py
+# --model mamba) ÷ a blended fp32-linear / TF32-conv / memory-bound-SSD
+# achievable ~29 TFLOP/s on A100 ≈ 20 p/s, rounded up to 22 to favor the
+# reference (which also recomputes every checkpointed Mamba2 block,
+# reference mamba/model.py:50,88-92). mamba_ssm's fused Triton SSD is
+# per-FLOP competitive, so near-parity here is the honest expectation —
+# unlike the conv/attention-heavy AFGSA step where bf16 MXU wins big.
+REF_A100_MAMBA_PATCHES_PER_SEC = 22.0
+
 PATCH = 128
 # The headline metric is the reference-parity prod config (batch 8).
 # PHT_BENCH_BATCH exists only for the BASELINE.md batch-scaling A/B —
@@ -90,6 +101,7 @@ def main() -> None:
     elapsed = time.perf_counter() - start
     patches_per_sec = BATCH * ITERS / elapsed
 
+    mamba_pps = _bench_mamba()
     print(
         json.dumps(
             {
@@ -97,7 +109,10 @@ def main() -> None:
                 "value": round(patches_per_sec, 2),
                 "unit": "patches/sec/chip",
                 "vs_baseline": round(patches_per_sec / REF_A100_PATCHES_PER_SEC, 3),
-                "mamba_train_patches_per_sec": _bench_mamba(),
+                "mamba_train_patches_per_sec": mamba_pps,
+                "mamba_vs_baseline": round(
+                    mamba_pps / REF_A100_MAMBA_PATCHES_PER_SEC, 3,
+                ),
             },
         ),
     )
