@@ -108,8 +108,20 @@ class BatchNorm2d(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(0, 1, 2))
         var = jnp.var(xf, axis=(0, 1, 2))
-        y = (xf - mean) / jnp.sqrt(var + self.eps)
-        return (y * scale + bias).astype(self.dtype)
+        if self.dtype == jnp.float32:
+            # bit-exact legacy path — the torch train-step trajectory
+            # parity tests pin this arithmetic order
+            y = (xf - mean) / jnp.sqrt(var + self.eps)
+            return (y * scale + bias).astype(self.dtype)
+        # bf16 compute: statistics stay fp32 (stability), but the
+        # per-element normalize runs in the compute dtype with the
+        # affine folded into two [c] vectors — halves the HBM bytes of
+        # the normalize fusion and its backward (VERDICT r3 #1c: move
+        # the fp32 elementwise tail to bf16 where grads allow)
+        inv = jax.lax.rsqrt(var + self.eps)
+        w = (scale * inv).astype(self.dtype)
+        b = (bias - mean * inv * scale).astype(self.dtype)
+        return x.astype(self.dtype) * w + b
 
 
 class InstanceNorm2d(nn.Module):
@@ -123,7 +135,13 @@ class InstanceNorm2d(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
         var = jnp.var(xf, axis=(1, 2), keepdims=True)
-        return ((xf - mean) / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        if self.dtype == jnp.float32:
+            # bit-exact legacy path (see BatchNorm2d)
+            return ((xf - mean) / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        inv = jax.lax.rsqrt(var + self.eps)
+        return x.astype(self.dtype) * inv.astype(self.dtype) + (
+            -mean * inv
+        ).astype(self.dtype)
 
 
 def apply_act(x: jnp.ndarray, act_type: Optional[str], neg_slope: float = 0.2):
