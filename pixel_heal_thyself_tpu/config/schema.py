@@ -53,9 +53,16 @@ class PatchesConfig:
 class DataConfig:
     images: ImagesConfig = field(default_factory=ImagesConfig)
     patches: PatchesConfig = field(default_factory=PatchesConfig)
-    # input pipeline: "native" (thread-prefetch h5 reader) or "grain"
-    # (Grain-backed, optional multi-process workers; single-host only)
-    loader: str = "native"
+    # input pipeline: "auto" picks "device" (whole patch store cached in
+    # HBM, batches gathered on-device — data/dataset.py:DeviceLoader) when
+    # single-process and the store fits device_cache_limit_gb, else
+    # "native" (thread-prefetch h5 reader). "grain" is the Grain-backed
+    # alternative (optional multi-process workers; single-host only).
+    loader: str = "auto"
+    # HBM budget for the device-resident store under loader=auto — the
+    # rest of a v5e's 16 GB holds params/opt/activations (prod step peak
+    # is a few GB; the prod synthetic store is ~4 GB)
+    device_cache_limit_gb: float = 6.0
 
 
 @dataclass

@@ -21,6 +21,7 @@ from typing import Iterator
 
 import h5py
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pixel_heal_thyself_tpu.logger import logger
@@ -92,6 +93,25 @@ class PatchDataset:
         f = self._files.pop(threading.get_ident(), None)
         if f is not None:
             f.close()
+
+    def arrays(self) -> dict[str, np.ndarray]:
+        """The full {noisy, gt, aux} store as contiguous fp32 arrays
+        (from the RAM cache when present, else one sequential read)."""
+        if self._cache is not None:
+            return self._cache
+        with h5py.File(self.dataset_path, "r") as f:
+            return {
+                k: np.ascontiguousarray(f[k][:], np.float32)
+                for k in self.KEYS
+            }
+
+    @property
+    def nbytes(self) -> int:
+        """Total store size in bytes (fp32), without loading it."""
+        with h5py.File(self.dataset_path, "r") as f:
+            return int(
+                sum(4 * np.prod(f[k].shape) for k in self.KEYS),
+            )
 
     def batch(self, indices: np.ndarray) -> dict[str, np.ndarray]:
         """Gather a batch; h5py wants sorted unique indices for fancy reads."""
@@ -217,3 +237,85 @@ class PrefetchLoader:
             for qd in queues:  # unblock any producer waiting on a full queue
                 while not qd.empty():
                     qd.get_nowait()
+
+
+class DeviceLoader(PrefetchLoader):
+    """Epoch iterator over a patch store cached ON DEVICE (in HBM).
+
+    The host→device link only ever carries the [batch] int32 index array
+    (~32 bytes/step); batches are gathered from the resident store by one
+    tiny jitted program per step, so the feed runs at HBM speed. This is
+    the TPU-native answer to the reference's known input-pipeline
+    bottleneck (reference `base_trainer.py:459-467` logs iter/io time
+    because its host loader couldn't keep up, SURVEY.md §3.2) — and on a
+    relay-attached chip (axon) it removes the host→device batch upload
+    entirely (measured in tools/bench_pipeline.py: streamed uploads
+    pipeline at best ~40% of the resident step rate).
+
+    Epoch order is byte-identical to `PrefetchLoader` for the same seed
+    (same `_epoch_indices`/`_batch_indices`), and the gathered fp32 values
+    are the same bytes — training trajectories are unchanged (pinned by
+    tests/test_dataset.py). Single-process only: multi-host runs feed
+    disjoint `host_bounds` slices from disk and must keep the host loader.
+
+    `device` may be a `jax.sharding.Sharding` — the store is uploaded
+    replicated and each gathered batch is laid out to that sharding by the
+    gather program itself (`out_shardings`), so DP meshes shard batches
+    exactly like the host loader's `device_put` did.
+    """
+
+    def __init__(
+        self,
+        dataset: PatchDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int | None = None,
+        drop_last: bool = False,
+        device=None,
+    ) -> None:
+        super().__init__(
+            dataset,
+            batch_size,
+            shuffle=shuffle,
+            seed=seed,
+            drop_last=drop_last,
+            device=device,
+        )
+        if jax.process_count() > 1:
+            raise ValueError(
+                "DeviceLoader is single-process; multi-host runs read "
+                "disjoint host_bounds slices and need PrefetchLoader",
+            )
+        host = dataset.arrays()
+        t0 = time.monotonic()
+        if device is not None and isinstance(device, jax.sharding.Sharding):
+            # replicate the store; gathered batches land on `device` below
+            import jax.sharding as jsh
+
+            mesh = device.mesh
+            replicated = jsh.NamedSharding(mesh, jsh.PartitionSpec())
+            self._store = {k: jax.device_put(v, replicated) for k, v in host.items()}
+        elif device is not None:
+            self._store = {k: jax.device_put(v, device) for k, v in host.items()}
+        else:
+            self._store = {k: jax.device_put(v) for k, v in host.items()}
+        jax.block_until_ready(self._store)
+        nbytes = sum(v.nbytes for v in host.values())
+        logger.info(
+            f"Cached {nbytes / 1e9:.2f} GB patch store on device "
+            f"({time.monotonic() - t0:.1f}s)",
+        )
+        sharding = device if isinstance(device, jax.sharding.Sharding) else None
+        self._gather = jax.jit(
+            lambda store, idx: {
+                k: jnp.take(v, idx, axis=0) for k, v in store.items()
+            },
+            out_shardings=sharding,
+        )
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = self._epoch_indices()
+        self._epoch += 1
+        for b in range(len(self)):
+            idx = self._batch_indices(indices, b)
+            yield self._gather(self._store, jnp.asarray(idx, jnp.int32))

@@ -240,7 +240,35 @@ class BaseTrainer:
             )
 
             host_bounds = host_batch_bounds(self.cfg.trainer.batch_size)
-        if self.cfg.data.loader == "grain":
+        loader_kind = self.cfg.data.loader
+        if loader_kind == "auto":
+            fits = (
+                train_ds.nbytes + val_ds.nbytes
+                <= self.cfg.data.device_cache_limit_gb * 1e9
+            )
+            loader_kind = (
+                "device" if fits and jax.process_count() == 1 else "native"
+            )
+            logger.info(f"data.loader=auto resolved to {loader_kind!r}")
+        if loader_kind == "device":
+            from pixel_heal_thyself_tpu.data.dataset import DeviceLoader
+
+            train_loader = DeviceLoader(
+                train_ds,
+                batch_size=self.cfg.trainer.batch_size,
+                shuffle=True,
+                seed=self.cfg.seed if self.deterministic else None,
+                drop_last=dp > 1,
+                device=batch_sharding(self.mesh),
+            )
+            val_loader = DeviceLoader(
+                val_ds,
+                batch_size=max(1, self.cfg.trainer.val_batch_size),
+                shuffle=False,
+                device=replicated(self.mesh),
+            )
+            return train_loader, val_loader, len(train_ds), len(val_ds)
+        if loader_kind == "grain":
             from pixel_heal_thyself_tpu.data.grain_loader import GrainLoader
 
             train_loader = GrainLoader(
@@ -259,10 +287,10 @@ class BaseTrainer:
                 device=replicated(self.mesh),
             )
             return train_loader, val_loader, len(train_ds), len(val_ds)
-        if self.cfg.data.loader != "native":
+        if loader_kind != "native":
             raise ValueError(
                 f"Unknown data.loader: {self.cfg.data.loader!r} "
-                "(expected 'native' or 'grain')",
+                "(expected 'auto', 'device', 'native' or 'grain')",
             )
         train_loader = PrefetchLoader(
             train_ds,

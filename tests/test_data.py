@@ -331,3 +331,59 @@ class TestSyntheticAndStore:
         for key in PatchDataset.KEYS:
             np.testing.assert_array_equal(bc[key], bd[key])
             assert bc[key].dtype == np.float32
+
+
+class TestDeviceLoader:
+    """DeviceLoader: the HBM-resident feed must be byte-interchangeable
+    with PrefetchLoader (same seed → same epoch order → same fp32 bytes),
+    so switching `data.loader` never changes a training trajectory."""
+
+    @pytest.fixture()
+    def store(self, tmp_path):
+        images = tmp_path / "images"
+        generate_dataset(images, height=96, width=96, seed=6)
+        patches = tmp_path / "patches"
+        patches.mkdir()
+        Hdf5Constructor(
+            str(images), str(patches), 32, 8, seed=1, train_val_ratio=0.5,
+        ).construct_hdf5()
+        return PatchDataset(str(patches / "train.h5"))
+
+    def test_matches_prefetch_loader_across_epochs(self, store):
+        from pixel_heal_thyself_tpu.data.dataset import DeviceLoader
+
+        host = PrefetchLoader(store, batch_size=4, shuffle=True, seed=11)
+        dev = DeviceLoader(store, batch_size=4, shuffle=True, seed=11)
+        assert len(host) == len(dev)
+        for _ in range(2):  # epoch counter must advance identically
+            for hb, db in zip(host, dev, strict=True):
+                for key in PatchDataset.KEYS:
+                    np.testing.assert_array_equal(
+                        np.asarray(hb[key]), np.asarray(db[key]),
+                    )
+
+    def test_sharded_gather(self, store):
+        import jax
+        import jax.sharding as jsh
+
+        from pixel_heal_thyself_tpu.data.dataset import DeviceLoader
+
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("data",))
+        sharding = jsh.NamedSharding(mesh, jsh.PartitionSpec("data"))
+        dev = DeviceLoader(
+            store, batch_size=4, shuffle=True, seed=3,
+            drop_last=True, device=sharding,
+        )
+        host = PrefetchLoader(
+            store, batch_size=4, shuffle=True, seed=3, drop_last=True,
+        )
+        for hb, db in zip(host, dev, strict=True):
+            assert db["noisy"].sharding.is_equivalent_to(sharding, 4)
+            for key in PatchDataset.KEYS:
+                np.testing.assert_array_equal(
+                    np.asarray(hb[key]), np.asarray(db[key]),
+                )
+
+    def test_nbytes_and_arrays(self, store):
+        arrays = store.arrays()
+        assert store.nbytes == sum(v.nbytes for v in arrays.values())

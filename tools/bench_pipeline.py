@@ -17,6 +17,17 @@ real chip:
   upload_eager like upload_async plus `block_until_ready` on the put in
                the "producer" position — forces the bytes to move at
                prefetch time if the runtime was deferring them
+  upload_fused one device_put of a single packed [b,p,p,13] array per
+               step (split into noisy/gt/aux inside the jit) instead of
+               three puts — if the relay cost is per-transfer round-trip
+               latency, this cuts it 3×
+  upload_deep  like upload_async but with FOUR packed puts in flight —
+               measures whether the relay pipelines concurrent
+               transfers (the PrefetchLoader-with-depth pattern)
+  resident_gather  the data/dataset.py:DeviceLoader pattern — the whole
+               patch store lives in HBM, each step device_puts only a
+               [b] int32 index array and gathers the batch on device;
+               the fix the decomposition motivates
 
 All batches are distinct random tensors (the axon relay dedupes identical
 executions) and states chain through donation, the verified-sound timing
@@ -138,6 +149,75 @@ def main(argv=None) -> None:
         gs, ds, m = step_fn(gs, ds, pending, rng)
         pending = nxt
     record("upload_eager", t0, m)
+
+    # ---- packed-wire variants: one transfer per step ---------------------
+    packed = [
+        np.concatenate([hb["noisy"], hb["gt"], hb["aux"]], axis=-1)
+        for hb in host_batches
+    ]
+
+    def unpack(wire):
+        return {"noisy": wire[..., :3], "gt": wire[..., 3:6], "aux": wire[..., 6:]}
+
+    # jitted wrapper: the unpack slices trace into ONE executable with the
+    # step (the inner jit inlines), so a step stays a single relay dispatch
+    packed_step = jax.jit(
+        lambda gs, ds, wire, rng: step_fn(gs, ds, unpack(wire), rng),
+        donate_argnums=(0, 1),
+    )
+
+    # warm-up (the slices compile into the same executable's prologue)
+    gs, ds, m = packed_step(gs, ds, jax.device_put(packed[0]), rng)
+    jax.block_until_ready(m["g_loss"])
+
+    # upload_fused: ONE put per step, issued one step ahead
+    pending = jax.device_put(packed[0])
+    jax.block_until_ready(pending)
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        nxt = jax.device_put(packed[i + 1])
+        jax.block_until_ready(nxt)
+        gs, ds, m = packed_step(gs, ds, pending, rng)
+        pending = nxt
+    record("upload_fused", t0, m)
+
+    # upload_deep: packed puts, FOUR in flight (prefetch-depth pattern)
+    depth = 4
+    packed_deep = packed + [packed[0]] * depth
+    inflight = [jax.device_put(packed_deep[i]) for i in range(depth)]
+    jax.block_until_ready(inflight)
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        inflight.append(jax.device_put(packed_deep[i + depth]))
+        gs, ds, m = packed_step(gs, ds, inflight.pop(0), rng)
+    record("upload_deep", t0, m)
+
+    # resident_gather: the DeviceLoader pattern — store in HBM, per-step
+    # host traffic is one [b] int32 index array, batch gathered on device
+    store = {
+        k: jax.device_put(
+            np.stack([hb[k] for hb in host_batches]).reshape(
+                -1, *host_batches[0][k].shape[1:],
+            ),
+        )
+        for k in host_batches[0]
+    }
+    jax.block_until_ready(store)
+    n_store = args.batch * len(host_batches)
+    gather = jax.jit(
+        lambda st, idx: {k: jnp.take(v, idx, axis=0) for k, v in st.items()},
+    )
+    idx_rng = np.random.default_rng(3)
+    all_idx = [
+        idx_rng.integers(0, n_store, size=args.batch).astype(np.int32)
+        for _ in range(args.iters + 1)
+    ]
+    gs, ds, m = step_fn(gs, ds, gather(store, jnp.asarray(all_idx[0])), rng)
+    jax.block_until_ready(m["g_loss"])
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        gs, ds, m = step_fn(gs, ds, gather(store, jnp.asarray(all_idx[i + 1])), rng)
+    record("resident_gather", t0, m)
 
     results["batch_mb"] = round(batch_mb, 1)
     print(json.dumps(results))

@@ -20,6 +20,10 @@ run this script to rebuild them byte-identically, then:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pixel_heal_thyself_tpu.data.synthetic import generate_dataset
 
