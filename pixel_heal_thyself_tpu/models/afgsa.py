@@ -217,12 +217,28 @@ def multi_scale_encode(
     bias = jnp.concatenate(bs)
     pad = pad_fn if pad_fn is not None else pad2d
     xp = pad(x, 2, padding_mode).astype(dtype)
-    y = jax.lax.conv_general_dilated(
-        xp,
-        kernel.astype(dtype),
-        (1, 1),
-        "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    # Execute as an EXPLICIT im2col matmul rather than a convolution: with
+    # Cin = 3 or 7 (≪ the 128-wide lane tile), the conv's implicit window
+    # staging dominates — the folded 7-ch conv profiled at 21 TF/s
+    # (BASELINE.md round-4 profile, 1.65 ms). Staging the 25 taps as
+    # channels is one fused slice-concat ([B,H,W,25·Cin] bf16), and the
+    # contraction becomes a dense [B·H·W, 25·Cin]×[25·Cin, 3E] matmul the
+    # MXU tiles at high utilization. Tap order (ky-major, kx, channels)
+    # matches kernel.reshape(25·Cin, 3E) exactly, so the result is the
+    # same tap-sum as the conv up to fp reassociation.
+    hgt, wdt = xp.shape[1] - 4, xp.shape[2] - 4
+    cols = jnp.concatenate(
+        [
+            xp[:, dy : dy + hgt, dx : dx + wdt, :]
+            for dy in range(5)
+            for dx in range(5)
+        ],
+        axis=-1,
+    )
+    y = jnp.dot(
+        cols,
+        kernel.astype(dtype).reshape(25 * cin, 3 * e),
+        preferred_element_type=dtype,
     )
     y = bias_add(y, bias.astype(dtype))
     if all(s == slopes[0] for s in slopes):

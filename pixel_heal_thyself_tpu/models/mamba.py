@@ -56,7 +56,15 @@ class RMSNormGated(nn.Module):
         x = x * jax.nn.silu(z)
         xf = x.astype(jnp.float32)
         rms = jax.lax.rsqrt(jnp.mean(xf**2, axis=-1, keepdims=True) + self.eps)
-        return (xf * rms * weight).astype(x.dtype)
+        if x.dtype == jnp.float32:
+            return xf * rms * weight
+        # bf16 compute: the mean-square reduction stays fp32 (a fused
+        # reduce — XLA never materializes xf), but the full-width scale
+        # multiply runs in the compute dtype. [b, l, d_inner] here is the
+        # largest activation in the model (BASELINE.md Mamba ceiling
+        # table: the loop-fusion tail is HBM-bound) — same pattern as
+        # layers.BatchNorm2d's compute-dtype normalize.
+        return x * (rms.astype(x.dtype) * weight.astype(x.dtype))
 
 
 class Mamba2Layer(nn.Module):
@@ -215,8 +223,19 @@ class LayerNormTorch(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        return (y * scale + bias).astype(self.dtype)
+        if self.dtype == jnp.float32:
+            y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+            return y * scale + bias
+        # bf16 compute: per-token stats stay fp32 ([b, l, 1] reductions),
+        # every full-width [b, l, d] op runs in the compute dtype — the
+        # BatchNorm2d compute-dtype-normalize pattern (layers.py). The
+        # per-token coefficients are cast BEFORE the broadcast so no
+        # [b, l, d] fp32 tensor is ever materialized.
+        inv = jax.lax.rsqrt(var + self.eps)
+        xn = x.astype(self.dtype) * inv.astype(self.dtype) - (
+            mean * inv
+        ).astype(self.dtype)
+        return xn * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
 class MambaBlock(nn.Module):
