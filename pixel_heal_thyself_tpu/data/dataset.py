@@ -255,7 +255,7 @@ class DeviceLoader(PrefetchLoader):
     Epoch order is byte-identical to `PrefetchLoader` for the same seed
     (same `_epoch_indices`/`_batch_indices`), and the gathered fp32 values
     are the same bytes — training trajectories are unchanged (pinned by
-    tests/test_dataset.py). Single-process only: multi-host runs feed
+    tests/test_data.py). Single-process only: multi-host runs feed
     disjoint `host_bounds` slices from disk and must keep the host loader.
 
     `device` may be a `jax.sharding.Sharding` — the store is uploaded

@@ -23,6 +23,7 @@ params and fp32 softmax/accumulation.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any
 
@@ -44,6 +45,14 @@ from pixel_heal_thyself_tpu.utils.init import (
     torch_default_bias_init,
     torch_default_kernel_init,
 )
+
+# multi_scale_encode's folded path executes as an im2col matmul only up to
+# this many output pixels — the [B,H,W,25·Cin] staging buffer is ~25× the
+# encoder-input footprint, cheap at training-patch scale but a real HBM
+# cost at full-frame inference (ADVICE r4). 256² covers every training and
+# tiled-inference geometry in the configs; env override exists for the
+# BASELINE.md round-5 im2col-vs-conv A/B (0 disables im2col entirely).
+_IM2COL_MAX_PIXELS = int(os.environ.get("PHT_IM2COL_MAX_PIXELS", str(256 * 256)))
 
 
 class FiLM(nn.Module):
@@ -217,29 +226,46 @@ def multi_scale_encode(
     bias = jnp.concatenate(bs)
     pad = pad_fn if pad_fn is not None else pad2d
     xp = pad(x, 2, padding_mode).astype(dtype)
-    # Execute as an EXPLICIT im2col matmul rather than a convolution: with
-    # Cin = 3 or 7 (≪ the 128-wide lane tile), the conv's implicit window
-    # staging dominates — the folded 7-ch conv profiled at 21 TF/s
-    # (BASELINE.md round-4 profile, 1.65 ms). Staging the 25 taps as
-    # channels is one fused slice-concat ([B,H,W,25·Cin] bf16), and the
-    # contraction becomes a dense [B·H·W, 25·Cin]×[25·Cin, 3E] matmul the
-    # MXU tiles at high utilization. Tap order (ky-major, kx, channels)
-    # matches kernel.reshape(25·Cin, 3E) exactly, so the result is the
-    # same tap-sum as the conv up to fp reassociation.
     hgt, wdt = xp.shape[1] - 4, xp.shape[2] - 4
-    cols = jnp.concatenate(
-        [
-            xp[:, dy : dy + hgt, dx : dx + wdt, :]
-            for dy in range(5)
-            for dx in range(5)
-        ],
-        axis=-1,
-    )
-    y = jnp.dot(
-        cols,
-        kernel.astype(dtype).reshape(25 * cin, 3 * e),
-        preferred_element_type=dtype,
-    )
+    if hgt * wdt <= _IM2COL_MAX_PIXELS:
+        # Training-patch path: execute as an EXPLICIT im2col matmul rather
+        # than a convolution. With Cin = 3 or 7 (≪ the 128-wide lane
+        # tile), the conv's implicit window staging dominates — the folded
+        # 7-ch conv profiled at 21 TF/s / 1.65 ms in the round-3 xplane
+        # ceiling table's "structurally low-MFU" class (BASELINE.md; the
+        # isolated A/B for THIS rewrite is the round-5 table). Staging the
+        # 25 taps as channels is one fused slice-concat ([B,H,W,25·Cin]
+        # bf16 — 25× the encoder-input footprint, why this path is gated
+        # to patch-scale spatial sizes), and the contraction becomes a
+        # dense [B·H·W, 25·Cin]×[25·Cin, 3E] matmul the MXU tiles at high
+        # utilization. Tap order (ky-major, kx, channels) matches
+        # kernel.reshape(25·Cin, 3E) exactly, so the result is the same
+        # tap-sum as the conv up to fp reassociation.
+        cols = jnp.concatenate(
+            [
+                xp[:, dy : dy + hgt, dx : dx + wdt, :]
+                for dy in range(5)
+                for dx in range(5)
+            ],
+            axis=-1,
+        )
+        y = jnp.dot(
+            cols,
+            kernel.astype(dtype).reshape(25 * cin, 3 * e),
+            preferred_element_type=dtype,
+        )
+    else:
+        # Full-frame path (ADVICE r4): above patch scale the im2col
+        # staging buffer would cost ~25× the input activation in HBM —
+        # run the fold as ONE 5×5 convolution (implicit windowing, no
+        # staging buffer); same tap-sum, same params
+        y = jax.lax.conv_general_dilated(
+            xp,
+            kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     y = bias_add(y, bias.astype(dtype))
     if all(s == slopes[0] for s in slopes):
         return apply_act(y, acts[0])

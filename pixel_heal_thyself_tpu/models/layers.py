@@ -113,15 +113,16 @@ class BatchNorm2d(nn.Module):
             # parity tests pin this arithmetic order
             y = (xf - mean) / jnp.sqrt(var + self.eps)
             return (y * scale + bias).astype(self.dtype)
-        # bf16 compute: statistics stay fp32 (stability), but the
-        # per-element normalize runs in the compute dtype with the
-        # affine folded into two [c] vectors — halves the HBM bytes of
-        # the normalize fusion and its backward (VERDICT r3 #1c: move
-        # the fp32 elementwise tail to bf16 where grads allow)
+        # bf16 compute: statistics AND the (x - mean) subtraction stay
+        # fp32 — folding the mean into a bf16 affine vector cancels
+        # catastrophically when |mean| ≫ σ (ADVICE r4 on the analogous
+        # LayerNormTorch path; pinned by tests/test_norm_dtypes.py). XLA
+        # fuses the fp32 subtract into the same elementwise chain, so no
+        # [b, h, w, c] fp32 tensor reaches HBM; only the affine output
+        # runs in the compute dtype.
         inv = jax.lax.rsqrt(var + self.eps)
-        w = (scale * inv).astype(self.dtype)
-        b = (bias - mean * inv * scale).astype(self.dtype)
-        return x.astype(self.dtype) * w + b
+        y = ((xf - mean) * inv).astype(self.dtype)
+        return y * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
 class InstanceNorm2d(nn.Module):
@@ -138,10 +139,9 @@ class InstanceNorm2d(nn.Module):
         if self.dtype == jnp.float32:
             # bit-exact legacy path (see BatchNorm2d)
             return ((xf - mean) / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        # fp32 subtract inside the fused chain (see BatchNorm2d)
         inv = jax.lax.rsqrt(var + self.eps)
-        return x.astype(self.dtype) * inv.astype(self.dtype) + (
-            -mean * inv
-        ).astype(self.dtype)
+        return ((xf - mean) * inv).astype(self.dtype)
 
 
 def apply_act(x: jnp.ndarray, act_type: Optional[str], neg_slope: float = 0.2):

@@ -226,15 +226,16 @@ class LayerNormTorch(nn.Module):
         if self.dtype == jnp.float32:
             y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
             return y * scale + bias
-        # bf16 compute: per-token stats stay fp32 ([b, l, 1] reductions),
-        # every full-width [b, l, d] op runs in the compute dtype — the
-        # BatchNorm2d compute-dtype-normalize pattern (layers.py). The
-        # per-token coefficients are cast BEFORE the broadcast so no
-        # [b, l, d] fp32 tensor is ever materialized.
+        # bf16 compute: per-token stats stay fp32 ([b, l, 1] reductions)
+        # and — critically — so does the (x - mean) subtraction: rewriting
+        # it as x·inv − mean·inv in bf16 cancels catastrophically when
+        # |mean| ≫ σ (error ∝ (|mean|/σ)·2⁻⁹; ADVICE r4, pinned by
+        # tests/test_norm_dtypes.py). XLA fuses the fp32 subtract into the
+        # same elementwise chain, so no [b, l, d] fp32 tensor is
+        # materialized in HBM either way; only the affine output runs in
+        # the compute dtype.
         inv = jax.lax.rsqrt(var + self.eps)
-        xn = x.astype(self.dtype) * inv.astype(self.dtype) - (
-            mean * inv
-        ).astype(self.dtype)
+        xn = ((xf - mean) * inv).astype(self.dtype)
         return xn * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 

@@ -128,6 +128,26 @@ class TestAFGSANet:
         out_l = np.asarray(literal.apply(p_f, x, aux))
         np.testing.assert_allclose(out_f, out_l, rtol=2e-5, atol=2e-6)
 
+    def test_encoder_fold_conv_path_matches_im2col(self, monkeypatch):
+        """Above _IM2COL_MAX_PIXELS the fold executes as one 5×5 conv
+        (no staging buffer — the full-frame inference path, ADVICE r4);
+        both executions are the same tap-sum up to fp reassociation."""
+        from pixel_heal_thyself_tpu.models import afgsa as afgsa_mod
+
+        kw = dict(
+            base_ch=16, enc_ch=16, num_sa=1, num_gcp=0, num_heads=2,
+            padding_mode="reflect", fold_encoder=True,
+        )
+        net = AFGSANet(**kw)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+        aux = jnp.asarray(rng.standard_normal((2, 16, 16, 7)).astype(np.float32))
+        p = net.init(jax.random.PRNGKey(0), x, aux)
+        out_im2col = np.asarray(net.apply(p, x, aux))
+        monkeypatch.setattr(afgsa_mod, "_IM2COL_MAX_PIXELS", 0)
+        out_conv = np.asarray(net.apply(p, x, aux))
+        np.testing.assert_allclose(out_im2col, out_conv, rtol=2e-5, atol=2e-6)
+
     def test_bf16_compute(self):
         net = AFGSANet(base_ch=16, enc_ch=16, num_sa=1, num_gcp=0, num_heads=2, dtype=jnp.bfloat16)
         x = jnp.ones((1, 8, 8, 3))
