@@ -24,6 +24,12 @@ from pixel_heal_thyself_tpu.utils.init import (
     torch_default_kernel_init,
 )
 
+# A/B switch for the BASELINE.md round-5 norm-dtype measurement: True
+# forces every norm onto its bit-exact fp32 path even under bf16 compute
+# (the pre-r4-snapshot numerics). Not a config knob — flip only from
+# measurement scripts (tools/bench_norm_dtype_ab.py).
+_FORCE_FP32_NORM = False
+
 
 class Conv(nn.Conv):
     """nn.Conv with TPU-minded lowering, param-compatible with nn.Conv.
@@ -108,7 +114,7 @@ class BatchNorm2d(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(0, 1, 2))
         var = jnp.var(xf, axis=(0, 1, 2))
-        if self.dtype == jnp.float32:
+        if self.dtype == jnp.float32 or _FORCE_FP32_NORM:
             # bit-exact legacy path — the torch train-step trajectory
             # parity tests pin this arithmetic order
             y = (xf - mean) / jnp.sqrt(var + self.eps)
@@ -136,7 +142,7 @@ class InstanceNorm2d(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
         var = jnp.var(xf, axis=(1, 2), keepdims=True)
-        if self.dtype == jnp.float32:
+        if self.dtype == jnp.float32 or _FORCE_FP32_NORM:
             # bit-exact legacy path (see BatchNorm2d)
             return ((xf - mean) / jnp.sqrt(var + self.eps)).astype(self.dtype)
         # fp32 subtract inside the fused chain (see BatchNorm2d)

@@ -56,7 +56,9 @@ class RMSNormGated(nn.Module):
         x = x * jax.nn.silu(z)
         xf = x.astype(jnp.float32)
         rms = jax.lax.rsqrt(jnp.mean(xf**2, axis=-1, keepdims=True) + self.eps)
-        if x.dtype == jnp.float32:
+        from pixel_heal_thyself_tpu.models import layers as _layers
+
+        if x.dtype == jnp.float32 or _layers._FORCE_FP32_NORM:
             return xf * rms * weight
         # bf16 compute: the mean-square reduction stays fp32 (a fused
         # reduce — XLA never materializes xf), but the full-width scale
@@ -223,7 +225,9 @@ class LayerNormTorch(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
-        if self.dtype == jnp.float32:
+        from pixel_heal_thyself_tpu.models import layers as _layers
+
+        if self.dtype == jnp.float32 or _layers._FORCE_FP32_NORM:
             y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
             return y * scale + bias
         # bf16 compute: per-token stats stay fp32 ([b, l, 1] reductions)
