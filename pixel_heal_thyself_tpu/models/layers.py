@@ -25,9 +25,12 @@ from pixel_heal_thyself_tpu.utils.init import (
 )
 
 # A/B switch for the BASELINE.md round-5 norm-dtype measurement: True
-# forces every norm onto its bit-exact fp32 path even under bf16 compute
-# (the pre-r4-snapshot numerics). Not a config knob — flip only from
-# measurement scripts (tools/bench_norm_dtype_ab.py).
+# forces the Mamba norms (LayerNormTorch/RMSNormGated, models/mamba.py)
+# onto their bit-exact fp32 paths even under bf16 compute — the
+# pre-r4-snapshot numerics. BatchNorm2d/InstanceNorm2d below are ALWAYS
+# fp32 (the bf16 form measured neutral and was reverted; BASELINE.md
+# round-5 norm table). Not a config knob — flip only from measurement
+# scripts (tools/bench_norm_dtype_ab.py).
 _FORCE_FP32_NORM = False
 
 
@@ -114,21 +117,14 @@ class BatchNorm2d(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(0, 1, 2))
         var = jnp.var(xf, axis=(0, 1, 2))
-        if self.dtype == jnp.float32 or _FORCE_FP32_NORM:
-            # bit-exact legacy path — the torch train-step trajectory
-            # parity tests pin this arithmetic order
-            y = (xf - mean) / jnp.sqrt(var + self.eps)
-            return (y * scale + bias).astype(self.dtype)
-        # bf16 compute: statistics AND the (x - mean) subtraction stay
-        # fp32 — folding the mean into a bf16 affine vector cancels
-        # catastrophically when |mean| ≫ σ (ADVICE r4 on the analogous
-        # LayerNormTorch path; pinned by tests/test_norm_dtypes.py). XLA
-        # fuses the fp32 subtract into the same elementwise chain, so no
-        # [b, h, w, c] fp32 tensor reaches HBM; only the affine output
-        # runs in the compute dtype.
-        inv = jax.lax.rsqrt(var + self.eps)
-        y = ((xf - mean) * inv).astype(self.dtype)
-        return y * scale.astype(self.dtype) + bias.astype(self.dtype)
+        # always the bit-exact fp32 normalize (the torch train-step
+        # trajectory parity tests pin this arithmetic order). A bf16
+        # compute-dtype normalize was A/B-measured NEUTRAL on the prod
+        # bench (78.30 fp32 vs 78.18 bf16 — BASELINE.md round-5 norm
+        # table): XLA fuses this chain either way, so the bf16 form saved
+        # no HBM traffic and only cost precision (ADVICE r4).
+        y = (xf - mean) / jnp.sqrt(var + self.eps)
+        return (y * scale + bias).astype(self.dtype)
 
 
 class InstanceNorm2d(nn.Module):
@@ -142,12 +138,8 @@ class InstanceNorm2d(nn.Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
         var = jnp.var(xf, axis=(1, 2), keepdims=True)
-        if self.dtype == jnp.float32 or _FORCE_FP32_NORM:
-            # bit-exact legacy path (see BatchNorm2d)
-            return ((xf - mean) / jnp.sqrt(var + self.eps)).astype(self.dtype)
-        # fp32 subtract inside the fused chain (see BatchNorm2d)
-        inv = jax.lax.rsqrt(var + self.eps)
-        return ((xf - mean) * inv).astype(self.dtype)
+        # always the bit-exact fp32 normalize (see BatchNorm2d)
+        return ((xf - mean) / jnp.sqrt(var + self.eps)).astype(self.dtype)
 
 
 def apply_act(x: jnp.ndarray, act_type: Optional[str], neg_slope: float = 0.2):

@@ -37,6 +37,7 @@ from pixel_heal_thyself_tpu.models.layers import ConvBlock
 from pixel_heal_thyself_tpu.ops import conv_pallas
 from pixel_heal_thyself_tpu.ops.conv import causal_depthwise_conv1d
 from pixel_heal_thyself_tpu.ops.padding import make_row_halo_pad
+from pixel_heal_thyself_tpu.ops import ssd_mega
 from pixel_heal_thyself_tpu.ops.ssd import ssd_chunked, ssd_sharded
 from pixel_heal_thyself_tpu.utils.init import (
     torch_default_bias_init,
@@ -69,6 +70,18 @@ class RMSNormGated(nn.Module):
         return x * (rms.astype(x.dtype) * weight.astype(x.dtype))
 
 
+class _RMSNormWeight(nn.Module):
+    """Param holder declaring RMSNormGated's `weight` at the same tree
+    path (`<name>/weight`, ones-init fp32) without applying it — the
+    megakernel path consumes the weight inside the fused op while
+    checkpoints/imports see an identical tree (the _ProjKernel pattern,
+    models/afgsa.py)."""
+
+    @nn.compact
+    def __call__(self, d: int) -> jnp.ndarray:
+        return self.param("weight", nn.initializers.ones, (d,), jnp.float32)
+
+
 class Mamba2Layer(nn.Module):
     """Sequence mixer: [B, L, D] → [B, L, D].
 
@@ -94,6 +107,10 @@ class Mamba2Layer(nn.Module):
     # fuse the xBC-slice → causal conv1d → SiLU prologue into one Pallas
     # kernel (ops/conv_pallas.py) — TPU only, single-device path
     use_pallas: bool = False
+    # fuse the ENTIRE layer interior (conv1d+SiLU, dt softplus, SSD scan,
+    # D skip, gated RMSNorm) into the ops/ssd_mega.py megakernel — TPU
+    # only, single-device path; falls back when shapes don't qualify
+    use_megakernel: bool = False
 
     @nn.compact
     def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -128,6 +145,51 @@ class Mamba2Layer(nn.Module):
             (conv_dim,),
             jnp.float32,
         )
+
+        # dt bias: inverse-softplus of log-uniform[dt_min, dt_max]
+        def dt_bias_init(key, shape):
+            r = jax.random.uniform(key, shape, jnp.float32)
+            dt = jnp.exp(
+                r * (math.log(self.dt_max) - math.log(self.dt_min))
+                + math.log(self.dt_min),
+            )
+            dt = jnp.clip(dt, 1e-4, None)
+            return dt + jnp.log(-jnp.expm1(-dt))
+
+        dt_bias = self.param("dt_bias", dt_bias_init, (nheads,))
+
+        def A_log_init(key, shape):
+            lo, hi = self.A_init_range
+            return jnp.log(jax.random.uniform(key, shape, jnp.float32, lo, hi))
+
+        A_log = self.param("A_log", A_log_init, (nheads,))
+        A = -jnp.exp(A_log)
+        D = self.param("D", nn.initializers.ones, (nheads,), jnp.float32)
+
+        if (
+            self.use_megakernel
+            and self.seq_axis is None
+            and jax.default_backend() not in ("cpu", "gpu")
+            and ssd_mega.supports_shapes(
+                l, d_inner, self.ngroups, self.d_state, self.headdim,
+                self.d_conv, self.chunk_size,
+            )
+        ):
+            norm_w = _RMSNormWeight(name="norm")(d_inner)
+            y = ssd_mega.fused_mamba_chain(
+                zxbcdt, conv_w, conv_b, dt_bias, A, D, norm_w,
+                d_inner, self.ngroups * self.d_state, self.headdim,
+                self.chunk_size,
+            )
+            return nn.Dense(
+                self.d_model,
+                use_bias=False,
+                kernel_init=torch_default_kernel_init,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="out_proj",
+            )(y)
+
         if self.seq_axis is not None and self.d_conv > 1:
             # exact cross-shard conv context: previous shard's last k-1
             # tokens; shard 0 receives zeros from the non-cyclic ppermute —
@@ -162,28 +224,9 @@ class Mamba2Layer(nn.Module):
             axis=-1,
         )
 
-        # dt bias: inverse-softplus of log-uniform[dt_min, dt_max]
-        def dt_bias_init(key, shape):
-            r = jax.random.uniform(key, shape, jnp.float32)
-            dt = jnp.exp(
-                r * (math.log(self.dt_max) - math.log(self.dt_min))
-                + math.log(self.dt_min),
-            )
-            dt = jnp.clip(dt, 1e-4, None)
-            return dt + jnp.log(-jnp.expm1(-dt))
-
-        dt_bias = self.param("dt_bias", dt_bias_init, (nheads,))
         dt = jax.nn.softplus(
             dt_raw.astype(jnp.float32) + dt_bias,
         )  # [b, l, nheads]
-
-        def A_log_init(key, shape):
-            lo, hi = self.A_init_range
-            return jnp.log(jax.random.uniform(key, shape, jnp.float32, lo, hi))
-
-        A_log = self.param("A_log", A_log_init, (nheads,))
-        A = -jnp.exp(A_log)
-        D = self.param("D", nn.initializers.ones, (nheads,), jnp.float32)
 
         ssd = (
             partial(ssd_sharded, axis_name=self.seq_axis)
@@ -258,6 +301,7 @@ class MambaBlock(nn.Module):
     seq_axis: str | None = None
     pad_fn: Any = None
     use_pallas: bool = False
+    use_megakernel: bool = False
 
     @nn.compact
     def __call__(self, noisy: jnp.ndarray, aux: jnp.ndarray):
@@ -273,6 +317,7 @@ class MambaBlock(nn.Module):
             dtype=self.dtype,
             seq_axis=self.seq_axis,
             use_pallas=self.use_pallas,
+            use_megakernel=self.use_megakernel,
             name="mamba",
         )(normed)
         noisy = noisy + mixed.reshape(b, h, w, c)
@@ -321,6 +366,7 @@ class MambaDenoiserNet(nn.Module):
     dtype: Any = jnp.float32
     seq_axis: str | None = None
     use_pallas: bool = False
+    use_megakernel: bool = False
 
     @nn.compact
     def __call__(self, noisy: jnp.ndarray, aux: jnp.ndarray) -> jnp.ndarray:
@@ -398,6 +444,7 @@ class MambaDenoiserNet(nn.Module):
                 seq_axis=self.seq_axis,
                 pad_fn=pad_fn,
                 use_pallas=self.use_pallas,
+                use_megakernel=self.use_megakernel,
             )(out, a)
 
         out = cb(

@@ -119,3 +119,34 @@ def test_fused_grads_match_chain(cfg):
             bb, a, rtol=5e-4, atol=5e-4 * scale,
             err_msg=f"grad mismatch: {name}",
         )
+
+
+def test_layer_megakernel_matches_layer():
+    """Mamba2Layer(use_megakernel) == Mamba2Layer through the fused op:
+    same params (tree pinned identical), same output. The layer gates the
+    kernel off on CPU, so this drives the fused op directly (interpret)
+    between the layer's own in_proj/out_proj matmuls."""
+    from pixel_heal_thyself_tpu.models.mamba import Mamba2Layer
+
+    d_model, d_state, headdim, expand = 32, 64, 64, 4
+    d_inner = d_model * expand
+    m = Mamba2Layer(d_model=d_model, d_state=d_state, headdim=headdim,
+                    expand=expand)
+    m_mega = Mamba2Layer(d_model=d_model, d_state=d_state, headdim=headdim,
+                         expand=expand, use_megakernel=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 256, d_model)).astype(np.float32))
+    p = m.init(jax.random.PRNGKey(0), x)
+    p2 = m_mega.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+    want = np.asarray(m.apply(p, x))
+
+    lp = p["params"]
+    zx = x @ lp["in_proj"]["kernel"]
+    y = fused_mamba_chain(
+        zx, lp["conv1d_weight"], lp["conv1d_bias"], lp["dt_bias"],
+        -jnp.exp(lp["A_log"]), lp["D"], lp["norm"]["weight"],
+        d_inner, d_state, headdim, 128, True,
+    )
+    got = np.asarray(y @ lp["out_proj"]["kernel"])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

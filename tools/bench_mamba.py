@@ -65,9 +65,11 @@ def main(argv=None) -> None:
         jax.default_backend() not in ("cpu", "gpu")
         and os.environ.get("PHT_MAMBA_PALLAS", "0") == "1"
     )
+    # the fused full-interior megakernel (ops/ssd_mega.py)
+    use_mega = os.environ.get("PHT_MAMBA_MEGA", "0") == "1"
     model = MambaDenoiserNet(
         dtype=jnp.bfloat16, num_gcp=0, height=p, width=p,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, use_megakernel=use_mega,
     )
     noisy0 = jnp.zeros((b, p, p, 3))
     aux0 = jnp.zeros((b, p, p, 7))
@@ -97,7 +99,10 @@ def main(argv=None) -> None:
     seq = jnp.asarray(
         rng_np.standard_normal((b, p * p, 256)).astype(np.float32), jnp.bfloat16,
     )
-    layer = Mamba2Layer(d_model=256, dtype=jnp.bfloat16, use_pallas=use_pallas)
+    layer = Mamba2Layer(
+        d_model=256, dtype=jnp.bfloat16, use_pallas=use_pallas,
+        use_megakernel=use_mega,
+    )
     lp = layer.init(jax.random.PRNGKey(1), seq)
 
     def layer_fwd_bwd(x):
