@@ -138,8 +138,10 @@ def _bench_mamba() -> float:
     b = 4
     g_model = MambaDenoiserNet(
         dtype=jnp.bfloat16, num_gcp=0, height=PATCH, width=PATCH,
-        # ops/ssd_mega.py fused-interior megakernel (BASELINE.md round-5)
-        use_megakernel=os.environ.get("PHT_MAMBA_MEGA", "0") == "1",
+        # ops/ssd_mega.py fused-interior megakernel — measured 23.30 →
+        # 43.99 p/s on this bench (BASELINE.md round-5); flip to 0 for
+        # the XLA-chain A/B
+        use_megakernel=os.environ.get("PHT_MAMBA_MEGA", "1") == "1",
     )
     d_model = DiscriminatorVGG(input_size=PATCH, dtype=jnp.bfloat16)
     g_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)

@@ -638,4 +638,9 @@ class MambaTrainer(BaseTrainer):
             # (158.6 -> 167.0 ms G fwd+bwd; BASELINE.md round-3 negative
             # results) — the XLA path stays the production default
             use_pallas=False,
+            # the ops/ssd_mega.py fused-interior megakernel: measured
+            # 25.2 -> 10.4 ms per layer fwd+bwd at prod shapes on v5e
+            # (BASELINE.md round-5); gated per-shape inside the layer and
+            # off for CPU/GPU backends automatically
+            use_megakernel=self.use_pallas,
         )
