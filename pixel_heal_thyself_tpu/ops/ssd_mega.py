@@ -458,7 +458,6 @@ def _fwd(zxbcdt, conv_w, conv_b, dt_bias, A, D, norm_w, *,
         dimension_semantics=("parallel", "arbitrary"),
         vmem_limit_bytes=_VMEM_LIMIT,
     )
-    zx3 = zxbcdt.reshape(b, nc, q, W).reshape(b, nc * q, W)
 
     if not emit:
         y = pl.pallas_call(
@@ -470,7 +469,7 @@ def _fwd(zxbcdt, conv_w, conv_b, dt_bias, A, D, norm_w, *,
             scratch_shapes=scratch,
             compiler_params=params,
             interpret=interpret,
-        )(zx3, wb, pv, nw)
+        )(zxbcdt, wb, pv, nw)
         return y, None, None
 
     y, stin, tails = pl.pallas_call(
@@ -493,7 +492,7 @@ def _fwd(zxbcdt, conv_w, conv_b, dt_bias, A, D, norm_w, *,
         scratch_shapes=scratch,
         compiler_params=params,
         interpret=interpret,
-    )(zx3, wb, pv, nw)
+    )(zxbcdt, wb, pv, nw)
     return y, stin, tails
 
 
