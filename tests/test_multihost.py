@@ -16,6 +16,7 @@ per-host loading, and the cross-process DP train step.
 
 import json
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -151,6 +152,18 @@ def test_two_process_four_device_trainer(tmp_path):
     assert epoch_dirs == ["model_epoch1"], epoch_dirs
     assert (run_dir / "model_epoch1" / "state").is_dir()
 
-    # same global trajectory as the single-process mesh, byte-for-byte
+    # same global trajectory as the single-process mesh: train_loss.txt
+    # byte-for-byte; evaluation.txt format-identical with values equal to
+    # 1 ulp at the printed precision — the 2-proc mesh lowers the eval
+    # metric reductions with a different accumulation order than the
+    # 1-proc 8-device program, and a fp32 1-ulp difference can straddle
+    # the %.4f rounding edge (reproduced at the untouched round-4 HEAD:
+    # Avg PSNR 13.0520 vs 13.0519 — environment-dependent, not a code
+    # regression)
     assert (run_dir / "train_loss.txt").read_text() == ref_loss
-    assert (run_dir / "evaluation.txt").read_text() == ref_eval
+    got_eval = (run_dir / "evaluation.txt").read_text()
+    num_re = re.compile(r"-?\d+\.\d+")
+    assert num_re.sub("#", got_eval) == num_re.sub("#", ref_eval), got_eval
+    got_vals = [float(v) for v in num_re.findall(got_eval)]
+    ref_vals = [float(v) for v in num_re.findall(ref_eval)]
+    np.testing.assert_allclose(got_vals, ref_vals, rtol=0, atol=1.01e-4)

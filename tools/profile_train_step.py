@@ -49,7 +49,10 @@ def capture(trace_dir: str, steps: int, model: str = "afgsa") -> None:
         from pixel_heal_thyself_tpu.models.mamba import MambaDenoiserNet
 
         b = 4
-        g = MambaDenoiserNet(dtype=jnp.bfloat16, num_gcp=0, height=p, width=p)
+        g = MambaDenoiserNet(
+            dtype=jnp.bfloat16, num_gcp=0, height=p, width=p,
+            use_megakernel=os.environ.get("PHT_MAMBA_MEGA", "1") == "1",
+        )
     else:
         g = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0)
     d = DiscriminatorVGG(input_size=p, dtype=jnp.bfloat16)
