@@ -223,7 +223,16 @@ def e2e() -> None:
             "logging.level=INFO",
         ],
         cwd=scratch,
-        env={**os.environ, "PYTHONPATH": str(repo)},
+        # append (not replace): the axon TPU backend is registered by a
+        # sitecustomize delivered via PYTHONPATH (/root/.axon_site on this
+        # image) — replacing the variable silently drops the TPU platform
+        # (CLAUDE.md "Environment gotchas")
+        env={
+            **os.environ,
+            "PYTHONPATH": os.pathsep.join(
+                p for p in (os.environ.get("PYTHONPATH", ""), str(repo)) if p
+            ),
+        },
         capture_output=True,
         text=True,
         check=False,

@@ -1,0 +1,180 @@
+"""Goldens for the fused AFGSA TransformerBlock megakernel (ops/block_mega.py).
+
+Interpret-mode (CPU) comparison against the exact XLA chain the kernel
+replaces — n_aux 1×1 ConvBlock → q/k/v projections →
+block_halo_attention_xla → residual → two 3×3 padded ConvBlocks →
+residual (models/afgsa.py TransformerBlock, reference
+`pht/models/afgsa/model.py:519-542`) — in the bf16 compute dtype for all
+three torch padding modes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixel_heal_thyself_tpu.ops.attention import (
+    block_halo_attention_xla,
+)
+from pixel_heal_thyself_tpu.ops.bias import bias_add
+from pixel_heal_thyself_tpu.ops.block_mega import (
+    pad_w_halo,
+    supports_shapes,
+    transformer_block_mega_padded,
+    unpad_w_halo,
+)
+from pixel_heal_thyself_tpu.ops.curves import CurveOrder, make_curve_indices
+from pixel_heal_thyself_tpu.ops.padding import pad2d
+
+BS, HALO, HEADS = 8, 3, 4
+
+
+def _conv3x3(x, w, b, mode, dtype):
+    xp = pad2d(x, 1, mode)
+    y = jax.lax.conv_general_dilated(
+        xp.astype(dtype), w.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    )
+    return jnp.maximum(bias_add(y, b.astype(dtype)), 0.0)
+
+
+def _ref_block(noisy, aux, p, mode, dtype=jnp.bfloat16):
+    x = noisy.astype(dtype)
+    a = aux.astype(dtype)
+    ncat = jnp.concatenate([x, a], axis=-1)
+    n_aux = jnp.maximum(
+        bias_add(
+            jnp.dot(ncat, p["wcat"][0, 0].astype(dtype),
+                    preferred_element_type=dtype),
+            p["bcat"].astype(dtype),
+        ),
+        0.0,
+    )
+    q = jnp.dot(n_aux, p["wq"][0, 0].astype(dtype), preferred_element_type=dtype)
+    k = jnp.dot(n_aux, p["wk"][0, 0].astype(dtype), preferred_element_type=dtype)
+    v = jnp.dot(x, p["wv"][0, 0].astype(dtype), preferred_element_type=dtype)
+    order = jnp.asarray(make_curve_indices(BS, CurveOrder.RASTER))
+    attn = block_halo_attention_xla(
+        q, k, v, p["rel_h"], p["rel_w"], order, order,
+        block_size=BS, halo_size=HALO, num_heads=HEADS,
+    )
+    x1 = x + attn
+    f = _conv3x3(x1, p["w1"], p["b1"], mode, dtype)
+    f = _conv3x3(f, p["w2"], p["b2"], mode, dtype)
+    return x1 + f
+
+
+def _make(seed, b, h, w, c):
+    rng = np.random.default_rng(seed)
+    f32 = np.float32
+    hd = c // HEADS
+    window = BS + 2 * HALO
+    p = {
+        "wcat": (rng.standard_normal((1, 1, 2 * c, c)) * (2 * c) ** -0.5).astype(f32),
+        "bcat": (rng.standard_normal(c) * 0.1).astype(f32),
+        "wq": (rng.standard_normal((1, 1, c, c)) * c**-0.5).astype(f32),
+        "wk": (rng.standard_normal((1, 1, c, c)) * c**-0.5).astype(f32),
+        "wv": (rng.standard_normal((1, 1, c, c)) * c**-0.5).astype(f32),
+        "rel_h": rng.standard_normal((window, hd // 2)).astype(f32),
+        "rel_w": rng.standard_normal((window, hd // 2)).astype(f32),
+        "w1": (rng.standard_normal((3, 3, c, c)) * (9 * c) ** -0.5).astype(f32),
+        "b1": (rng.standard_normal(c) * 0.1).astype(f32),
+        "w2": (rng.standard_normal((3, 3, c, c)) * (9 * c) ** -0.5).astype(f32),
+        "b2": (rng.standard_normal(c) * 0.1).astype(f32),
+    }
+    noisy = rng.standard_normal((b, h, w, c)).astype(f32)
+    aux = rng.standard_normal((b, h, w, c)).astype(f32)
+    return noisy, aux, p
+
+
+def _run_mega(noisy, aux, p, mode, dtype=jnp.bfloat16):
+    xp = pad_w_halo(noisy.astype(dtype), HALO)
+    ap = pad_w_halo(aux.astype(dtype), HALO)
+    op = transformer_block_mega_padded(
+        xp, ap, p["wcat"], p["bcat"], p["wq"], p["wk"], p["wv"],
+        p["rel_h"], p["rel_w"], p["w1"], p["b1"], p["w2"], p["b2"],
+        block_size=BS, halo_size=HALO, num_heads=HEADS,
+        padding_mode=mode, interpret=True,
+    )
+    return unpad_w_halo(op, noisy.shape[2], HALO)
+
+
+@pytest.mark.parametrize("mode", ["reflect", "replicate", "zeros"])
+def test_block_mega_matches_xla_chain(mode):
+    b, h, w, c = 2, 32, 32, 256
+    noisy, aux, p = _make(11, b, h, w, c)
+    assert supports_shapes(b, h, w, c)
+    ref = np.asarray(_ref_block(jnp.asarray(noisy), jnp.asarray(aux), p, mode),
+                     np.float32)
+    got = np.asarray(_run_mega(jnp.asarray(noisy), jnp.asarray(aux), p, mode),
+                     np.float32)
+    scale = np.abs(ref).max()
+    dev = np.abs(got - ref).max() / scale
+    assert dev < 3e-2, f"mode={mode}: rel dev {dev:.3e}"
+    # tighter aggregate bound: bf16 noise, not a structural mismatch
+    rms = np.sqrt(((got - ref) ** 2).mean()) / scale
+    assert rms < 4e-3, f"mode={mode}: rel rms {rms:.3e}"
+
+
+def test_block_mega_rectangular_and_margins():
+    """Non-square frame + the padded-layout contract: margin columns of
+    the output are exactly zero (the next block's n_aux/v masking relies
+    on it)."""
+    b, h, w, c = 1, 32, 48, 256
+    noisy, aux, p = _make(5, b, h, w, c)
+    xp = pad_w_halo(jnp.asarray(noisy, jnp.bfloat16), HALO)
+    ap = pad_w_halo(jnp.asarray(aux, jnp.bfloat16), HALO)
+    op = transformer_block_mega_padded(
+        xp, ap, p["wcat"], p["bcat"], p["wq"], p["wk"], p["wv"],
+        p["rel_h"], p["rel_w"], p["w1"], p["b1"], p["w2"], p["b2"],
+        padding_mode="reflect", interpret=True,
+    )
+    op = np.asarray(op, np.float32)
+    assert np.all(op[:, :, :HALO] == 0.0)
+    assert np.all(op[:, :, HALO + w :] == 0.0)
+    ref = np.asarray(
+        _ref_block(jnp.asarray(noisy), jnp.asarray(aux), p, "reflect"),
+        np.float32,
+    )
+    got = op[:, :, HALO : HALO + w]
+    dev = np.abs(got - ref).max() / np.abs(ref).max()
+    assert dev < 3e-2, f"rel dev {dev:.3e}"
+
+
+def test_block_mega_chains():
+    """Two chained padded blocks equal two chained XLA blocks — the
+    padded-form chaining contract AFGSANet uses."""
+    b, h, w, c = 1, 32, 32, 256
+    noisy, aux, p = _make(7, b, h, w, c)
+    _, _, p2 = _make(8, b, h, w, c)
+    ref = _ref_block(jnp.asarray(noisy), jnp.asarray(aux), p, "reflect")
+    ref = np.asarray(
+        _ref_block(ref, jnp.asarray(aux), p2, "reflect"), np.float32,
+    )
+    xp = pad_w_halo(jnp.asarray(noisy, jnp.bfloat16), HALO)
+    ap = pad_w_halo(jnp.asarray(aux, jnp.bfloat16), HALO)
+    kw = dict(padding_mode="reflect", interpret=True)
+    mid = transformer_block_mega_padded(
+        xp, ap, p["wcat"], p["bcat"], p["wq"], p["wk"], p["wv"],
+        p["rel_h"], p["rel_w"], p["w1"], p["b1"], p["w2"], p["b2"], **kw,
+    )
+    out = transformer_block_mega_padded(
+        mid, ap, p2["wcat"], p2["bcat"], p2["wq"], p2["wk"], p2["wv"],
+        p2["rel_h"], p2["rel_w"], p2["w1"], p2["b1"], p2["w2"], p2["b2"], **kw,
+    )
+    got = np.asarray(unpad_w_halo(out, w, HALO), np.float32)
+    scale = np.abs(ref).max()
+    dev = np.abs(got - ref).max() / scale
+    assert dev < 5e-2, f"rel dev {dev:.3e}"
+
+
+def test_supports_shapes_gates():
+    assert supports_shapes(8, 128, 128, 256)
+    assert not supports_shapes(8, 128, 128, 256, dtype=jnp.float32)
+    assert not supports_shapes(8, 120, 128, 256)  # H % 16
+    assert not supports_shapes(8, 128, 124, 256)  # W % block
+    assert not supports_shapes(8, 128, 128, 192)  # C % 128
+    assert not supports_shapes(8, 512, 512, 256)  # VMEM budget
