@@ -83,7 +83,15 @@ def _bench_afgsa() -> float:
     # num_gcp=0: gradient checkpointing off — the reference remats 3/5
     # blocks to fit a 24 GB RTX 3090 (model.py:661); at prod shapes the
     # full activation set fits v5e HBM, so the recompute is pure waste
-    g_model = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0)
+    g_model = AFGSANet(
+        dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0,
+        # ops/block_mega.py whole-TransformerBlock megakernel — measured
+        # 78.11 -> 89.87 p/s on this bench (BASELINE.md round-5); flip
+        # to 0 for the XLA-chain A/B
+        use_block_kernel=(
+            use_pallas and os.environ.get("PHT_AFGSA_MEGA", "1") == "1"
+        ),
+    )
     d_model = DiscriminatorVGG(input_size=PATCH, dtype=jnp.bfloat16)
     g_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
     d_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)

@@ -147,6 +147,32 @@ class _ConvBlockParams(nn.Module):
         return _ConvParams(self.features, self.kernel_size, name="Conv_0")(cin)
 
 
+class _AFGSAParams(nn.Module):
+    """`AFGSA`-compatible param holder for the whole-block megakernel
+    path: declares the identical param tree (same child names, shapes,
+    initializers → bit-identical init and checkpoint compatibility) and
+    returns the raw weights for `ops.block_mega` instead of applying
+    them. Mirrors AFGSA's declaration order exactly: n_aux ConvBlock_0,
+    q/k/v projection kernels, rel_h/rel_w."""
+
+    ch: int
+    block_size: int
+    halo_size: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, cin_cat: int, cin_noisy: int):
+        window = self.block_size + 2 * self.halo_size
+        head_ch = self.ch // self.num_heads
+        wcat, bcat = _ConvBlockParams(self.ch, 1, name="ConvBlock_0")(cin_cat)
+        wq = _ProjKernel(self.ch, name="q_conv")(self.ch)
+        wk = _ProjKernel(self.ch, name="k_conv")(self.ch)
+        wv = _ProjKernel(self.ch, name="v_conv")(cin_noisy)
+        rel_h = self.param("rel_h", normal_unit, (window, head_ch // 2), jnp.float32)
+        rel_w = self.param("rel_w", normal_unit, (window, head_ch // 2), jnp.float32)
+        return wcat, bcat, wq, wk, wv, rel_h, rel_w
+
+
 def multi_scale_encode(
     x: jnp.ndarray,
     features: int,
@@ -362,7 +388,14 @@ class AFGSA(nn.Module):
 
 
 class TransformerBlock(nn.Module):
-    """Residual attention + residual two-conv feed-forward."""
+    """Residual attention + residual two-conv feed-forward.
+
+    With `use_block_kernel`, the whole block runs as ONE fused Pallas op
+    (`ops.block_mega`) on W-halo-PADDED images — the caller (AFGSANet)
+    pads once before the block stack and unpads after. The param tree is
+    identical to the literal form (declared via the `_AFGSAParams` /
+    `_ConvBlockParams` holders), so checkpoints and torch imports are
+    unchanged."""
 
     ch: int
     block_size: int = 8
@@ -373,10 +406,32 @@ class TransformerBlock(nn.Module):
     use_film: bool = False
     use_pallas: bool = False
     fold_qkv: bool = False
+    use_block_kernel: bool = False
+    mega_interpret: bool = False  # test-only: interpret-mode kernel on CPU
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, noisy: jnp.ndarray, aux: jnp.ndarray):
+        if self.use_block_kernel:
+            from pixel_heal_thyself_tpu.ops.block_mega import (
+                transformer_block_mega_padded,
+            )
+
+            wcat, bcat, wq, wk, wv, rel_h, rel_w = _AFGSAParams(
+                self.ch, self.block_size, self.halo_size, self.num_heads,
+                name="attention",
+            )(noisy.shape[-1] + aux.shape[-1], noisy.shape[-1])
+            w1, b1 = _ConvBlockParams(self.ch, 3, name="ConvBlock_0")(self.ch)
+            w2, b2 = _ConvBlockParams(self.ch, 3, name="ConvBlock_1")(self.ch)
+            out = transformer_block_mega_padded(
+                noisy.astype(self.dtype), aux.astype(self.dtype),
+                wcat, bcat, wq, wk, wv, rel_h, rel_w, w1, b1, w2, b2,
+                block_size=self.block_size, halo_size=self.halo_size,
+                num_heads=self.num_heads, padding_mode=self.padding_mode,
+                interpret=self.mega_interpret,
+            )
+            return out, aux
+
         noisy = noisy + AFGSA(
             ch=self.ch,
             block_size=self.block_size,
@@ -425,6 +480,11 @@ class AFGSANet(nn.Module):
     use_film: bool = False
     use_pallas: bool = False
     fold_qkv: bool = False
+    # whole-TransformerBlock megakernel (ops/block_mega.py): one fused
+    # Pallas op per block, blocks chained in W-halo-padded form. Falls
+    # back to the literal path when the geometry/dtype is unsupported.
+    use_block_kernel: bool = False
+    mega_interpret: bool = False
     enc_ch: int = 256
     # execute each 3-branch encoder as one folded 5×5 conv (numerically
     # exact — see multi_scale_encode); flip off to get the literal form
@@ -464,6 +524,25 @@ class AFGSANet(nn.Module):
             name="ConvBlock_8",
         )(a)
 
+        use_mega = self.use_block_kernel and not self.use_film
+        if use_mega:
+            from pixel_heal_thyself_tpu.ops import block_mega
+
+            use_mega = block_mega.supports_shapes(
+                out.shape[0], out.shape[1], out.shape[2], self.base_ch,
+                block_size=self.block_size, halo_size=self.halo_size,
+                num_heads=self.num_heads, dtype=self.dtype,
+            )
+        if use_mega:
+            # chain the blocks in W-halo-padded form: one pad before the
+            # stack, one unpad after — the per-block pad/unpad passes of
+            # the literal path disappear (ops/block_mega layout contract)
+            wdt = out.shape[2]
+            out = block_mega.pad_w_halo(
+                out.astype(self.dtype), self.halo_size,
+            )
+            a = block_mega.pad_w_halo(a.astype(self.dtype), self.halo_size)
+
         for i in range(1, self.num_sa + 1):
             block_cls = TransformerBlock
             # gradient-checkpoint (remat) the last num_gcp blocks
@@ -480,8 +559,14 @@ class AFGSANet(nn.Module):
                 use_film=self.use_film,
                 use_pallas=self.use_pallas,
                 fold_qkv=self.fold_qkv,
+                use_block_kernel=use_mega,
+                mega_interpret=self.mega_interpret,
                 dtype=self.dtype,
             )(out, a)
+
+        if use_mega:
+            out = block_mega.unpad_w_halo(out, wdt, self.halo_size)
+            a = block_mega.unpad_w_halo(a, wdt, self.halo_size)
 
         out = cb(
             self.base_ch,

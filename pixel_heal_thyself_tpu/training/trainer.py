@@ -606,6 +606,11 @@ class AFGSATrainer(BaseTrainer):
             use_film=m.use_film,
             use_pallas=self.use_pallas,
             fold_qkv=self.use_pallas and self.cfg.trainer.fold_qkv,
+            # ops/block_mega.py whole-TransformerBlock megakernel:
+            # measured 78.11 -> 89.87 patches/sec on the prod bench
+            # (BASELINE.md round-5); gated per-shape/dtype inside
+            # AFGSANet with automatic fallback to the literal path
+            use_block_kernel=self.use_pallas,
             enc_ch=m.enc_channels,
             dtype=self.compute_dtype,
         )

@@ -178,3 +178,116 @@ def test_supports_shapes_gates():
     assert not supports_shapes(8, 128, 124, 256)  # W % block
     assert not supports_shapes(8, 128, 128, 192)  # C % 128
     assert not supports_shapes(8, 512, 512, 256)  # VMEM budget
+
+
+def _loss_mega(noisy, aux, p, mode):
+    xp = pad_w_halo(noisy.astype(jnp.bfloat16), HALO)
+    ap = pad_w_halo(aux.astype(jnp.bfloat16), HALO)
+
+    def f(xp_, ap_, pt):
+        out = transformer_block_mega_padded(
+            xp_, ap_, pt["wcat"], pt["bcat"], pt["wq"], pt["wk"], pt["wv"],
+            pt["rel_h"], pt["rel_w"], pt["w1"], pt["b1"], pt["w2"], pt["b2"],
+            padding_mode=mode, interpret=True,
+        )
+        w = noisy.shape[2]
+        return jnp.sum(
+            unpad_w_halo(out, w, HALO).astype(jnp.float32) ** 2 * _WEIGHTS[: w],
+        )
+
+    return f, (xp, ap, p)
+
+
+_WEIGHTS = None  # set per-test: a fixed random weighting of the output
+
+
+def _loss_ref(noisy, aux, p, mode):
+    def f(x_, a_, pt):
+        out = _ref_block(x_, a_, pt, mode)
+        return jnp.sum(out.astype(jnp.float32) ** 2 * _WEIGHTS[: noisy.shape[2]])
+
+    return f, (jnp.asarray(noisy), jnp.asarray(aux), p)
+
+
+@pytest.mark.parametrize("mode", ["reflect", "replicate", "zeros"])
+def test_block_mega_gradients(mode):
+    """Every gradient (both images + all 11 params) of a scalar loss
+    through the fused block matches the XLA chain's autodiff.
+
+    Bounds are rms-centric: in bf16 the two computations round the conv
+    tap-sums in different orders, so pre-activations within one ulp of
+    zero can land on opposite sides of the ReLU boundary — each flip
+    moves a full-size do·input contribution into a handful of dW
+    elements. Verified numeric, not structural: the same comparison in
+    f32 collapses ~100× (w1 1.3e-1 → 1.4e-3 max dev)."""
+    global _WEIGHTS
+    b, h, w, c = 2, 32, 32, 256
+    noisy, aux, p = _make(3, b, h, w, c)
+    rngw = np.random.default_rng(99)
+    _WEIGHTS = jnp.asarray(rngw.standard_normal((w, c)).astype(np.float32))
+
+    fm, (xp, ap, pm) = _loss_mega(jnp.asarray(noisy), jnp.asarray(aux), p, mode)
+    fr, (x_, a_, pr) = _loss_ref(noisy, aux, p, mode)
+
+    gm = jax.grad(fm, argnums=(0, 1, 2))(xp, ap, pm)
+    gr = jax.grad(fr, argnums=(0, 1, 2))(x_, a_, pr)
+
+    # image grads: compare the unpadded interior (the ref takes unpadded
+    # inputs, so its grads are already interior-only); mega margins must
+    # be exactly zero
+    for gmi, gri, name in ((gm[0], gr[0], "dnoisy"), (gm[1], gr[1], "daux")):
+        gmi = np.asarray(gmi, np.float32)
+        assert np.all(gmi[:, :, :HALO] == 0), name
+        assert np.all(gmi[:, :, HALO + w :] == 0), name
+        got = gmi[:, :, HALO : HALO + w]
+        ref = np.asarray(gri, np.float32)
+        scale = np.abs(ref).max() + 1e-12
+        dev = np.abs(got - ref).max() / scale
+        assert dev < 1e-1, f"{name}[{mode}]: rel dev {dev:.3e}"
+        rms = np.sqrt(((got - ref) ** 2).mean()) / scale
+        assert rms < 8e-3, f"{name}[{mode}]: rel rms {rms:.3e}"
+
+    for key in sorted(p):
+        got = np.asarray(gm[2][key], np.float32)
+        ref = np.asarray(gr[2][key], np.float32)
+        scale = np.abs(ref).max() + 1e-12
+        rms = np.sqrt(((got - ref) ** 2).mean()) / scale
+        assert rms < 2.5e-2, f"d{key}[{mode}]: rel rms {rms:.3e}"
+        # aggregate fingerprint: total gradient mass agrees
+        fdev = abs(np.abs(got).sum() - np.abs(ref).sum()) / (
+            np.abs(ref).sum() + 1e-12
+        )
+        assert fdev < 2e-2, f"d{key}[{mode}]: fingerprint dev {fdev:.3e}"
+
+
+def test_model_integration_param_tree_and_forward():
+    """AFGSANet(use_block_kernel=True) declares the byte-identical param
+    tree (checkpoint compatibility) and matches the literal model's
+    forward on the same params."""
+    from functools import partial as _partial
+
+    from pixel_heal_thyself_tpu.models.afgsa import AFGSANet
+
+    kw = dict(num_sa=2, num_gcp=1, dtype=jnp.bfloat16)
+    net0 = AFGSANet(**kw)
+    net1 = AFGSANet(use_block_kernel=True, mega_interpret=True, **kw)
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(np.abs(rng.standard_normal((1, 32, 32, 3))), jnp.float32)
+    aux = jnp.asarray(rng.standard_normal((1, 32, 32, 7)), jnp.float32)
+
+    p0 = net0.init(jax.random.PRNGKey(0), x, aux)
+    p1_shapes = jax.eval_shape(_partial(net1.init, jax.random.PRNGKey(0)), x, aux)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(
+        p1_shapes,
+    )
+    same_shapes = jax.tree_util.tree_map(
+        lambda a, b: a.shape == b.shape and a.dtype == b.dtype, p0, p1_shapes,
+    )
+    assert all(jax.tree_util.tree_leaves(same_shapes))
+
+    out0 = np.asarray(net0.apply(p0, x, aux), np.float32)
+    out1 = np.asarray(net1.apply(p0, x, aux), np.float32)
+    scale = np.abs(out0).max()
+    dev = np.abs(out1 - out0).max() / scale
+    assert dev < 3e-2, f"rel dev {dev:.3e}"
