@@ -91,7 +91,8 @@ def main(argv=None) -> None:
     if args.model == "afgsa":
         from pixel_heal_thyself_tpu.models.afgsa import AFGSANet
 
-        model = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0)
+        model = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0,
+                     use_block_kernel=use_pallas)
     else:
         from pixel_heal_thyself_tpu.models.mamba import MambaDenoiserNet
 

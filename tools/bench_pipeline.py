@@ -74,7 +74,8 @@ def main(argv=None) -> None:
 
     b, p = args.batch, 128
     use_pallas = jax.default_backend() not in ("cpu", "gpu")
-    g_model = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0)
+    g_model = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0,
+                     use_block_kernel=use_pallas)
     d_model = DiscriminatorVGG(input_size=p, dtype=jnp.bfloat16)
     g_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
     d_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)

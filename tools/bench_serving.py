@@ -63,7 +63,8 @@ def main(argv=None) -> None:
     tile, margin = 64, 32  # training-parity geometry: tile + 2*margin = window
 
     use_pallas = jax.default_backend() not in ("cpu", "gpu")
-    model = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0)
+    model = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0,
+                     use_block_kernel=use_pallas)
     noisy0 = jnp.zeros((batch_tiles, window, window, 3))
     aux0 = jnp.zeros((batch_tiles, window, window, 7))
     variables = model.init(jax.random.PRNGKey(0), noisy0, aux0)

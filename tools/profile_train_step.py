@@ -54,7 +54,8 @@ def capture(trace_dir: str, steps: int, model: str = "afgsa") -> None:
             use_megakernel=os.environ.get("PHT_MAMBA_MEGA", "1") == "1",
         )
     else:
-        g = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0)
+        g = AFGSANet(dtype=jnp.bfloat16, use_pallas=use_pallas, num_gcp=0,
+                     use_block_kernel=use_pallas)
     d = DiscriminatorVGG(input_size=p, dtype=jnp.bfloat16)
     g_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
     d_tx = make_optimizer(1e-4, [2], 0.5, steps_per_epoch=100)
