@@ -185,6 +185,24 @@ def _shifted_taps(src, s0, rows: int, *, halo, w, padding_mode, dtype):
     ]
 
 
+def _im2col_stripe(src, s0, rows: int, *, halo, w, padding_mode, dtype):
+    """im2col of conv-input rows [s0, s0+rows): [rows·wpp, 9C] with tap
+    columns ordered (i, j)-major to match `[9,C,C].reshape(9C, C)`
+    weights. Built from three column-rolled copies (sh[j][u, c] =
+    padded_src[u, c+j−1]) of rows [s0−1, s0+rows+1) with the column
+    padding injected; `s0` may be a traced row index. One [·, 9C]×[9C, C]
+    MXU contraction then replaces nine small tap matmuls — fewer op
+    boundaries for Mosaic to schedule around."""
+    wpp = src.shape[1]
+    c = src.shape[-1]
+    sh = _shifted_taps(src, s0, rows, halo=halo, w=w,
+                       padding_mode=padding_mode, dtype=dtype)
+    cols = jnp.concatenate(
+        [sh[j][i : i + rows] for i in range(3) for j in range(3)], axis=-1,
+    )
+    return cols.reshape(rows * wpp, 9 * c)
+
+
 def _conv3x3_stripe(
     src, wk_ref, b_ref, s0, rows: int, *,
     halo: int, w: int, padding_mode: str, prec, dtype, col_mask,
@@ -195,18 +213,14 @@ def _conv3x3_stripe(
     [9, C, C] (tap-major), b_ref [1, C]."""
     wpp = src.shape[1]
     c = src.shape[-1]
-    sh = _shifted_taps(src, s0, rows, halo=halo, w=w,
-                       padding_mode=padding_mode, dtype=dtype)
-    acc = jnp.zeros((rows * wpp, c), jnp.float32)
-    for i in range(3):
-        for j in range(3):
-            acc = acc + jax.lax.dot_general(
-                sh[j][i : i + rows].reshape(rows * wpp, c),
-                wk_ref[i * 3 + j],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+    cols = _im2col_stripe(src, s0, rows, halo=halo, w=w,
+                          padding_mode=padding_mode, dtype=dtype)
+    acc = jax.lax.dot_general(
+        cols, wk_ref[...].reshape(9 * c, c),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
     # match XLA's rounding order: conv rounds once, then bf16 bias + relu
     y = acc.astype(dtype).reshape(rows, wpp, c)
     y = y + b_ref[0].astype(dtype)
@@ -219,21 +233,31 @@ def _conv3x3_stripe(
     return y, mask
 
 
-def _transposed_conv_stripe(buf, dpre_px, wt_ref, s0, mm):
+def _transposed_conv_stripe(buf, dpre_px, wtp_ref, s0, prec):
     """Accumulate the transposed-conv (input-gradient) taps of one output
     stripe into `buf` rows [s0−1, s0+_SROWS+1):
-    d_in[r+i−1, c+j−1] += dpre[r, c] · W[i,j]ᵀ. All nine taps accumulate
-    in one f32 value array, so the bf16 buffer is rounded once per stripe
-    instead of nine times. Roll wrap values are zero (dpre is
-    interior-masked); the row offsets are zero-row concats on the untiled
-    dim (`.at[].add` would lower to scatter-add, which Mosaic lacks)."""
+    d_in[r+i−1, c+j−1] += dpre[r, c] · W[i,j]ᵀ. wtp_ref holds the
+    per-tap-transposed weights packed [C, 9C] (tap-major columns); the
+    taps run as nine [·,C]×[C,C] matmuls — the one-shot [·,C]×[C,9C]
+    form measured SLOWER (its 20 MB f32 product must stay f32 for the
+    rolls; BASELINE.md round-5). All nine taps accumulate in one f32
+    value array, so the bf16 buffer is rounded once per stripe. Roll
+    wrap values are zero (dpre is interior-masked); the row offsets are
+    zero-row concats on the untiled dim (`.at[].add` would lower to
+    scatter-add, which Mosaic lacks)."""
     wpp = buf.shape[1]
     c = buf.shape[-1]
     acc = jnp.zeros((_SROWS + 2, wpp, c), jnp.float32)
     zrow = jnp.zeros((1, wpp, c), jnp.float32)
     for i in range(3):
         for j in range(3):
-            tmp = mm(dpre_px, wt_ref.at[i * 3 + j]).reshape(_SROWS, wpp, c)
+            k = i * 3 + j
+            tmp = jax.lax.dot_general(
+                dpre_px, wtp_ref[:, k * c : (k + 1) * c],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            ).reshape(_SROWS, wpp, c)
             shift = (j - 1) % wpp
             if shift:
                 tmp = pltpu.roll(tmp, shift, 1)
@@ -648,8 +672,8 @@ def _bwd_kernel(
     wqt_ref, wkt_ref, wvt_ref,    # [C, C] bf16 (transposed)
     wcxt_ref, wcat_t_ref,         # [C, C] bf16 (Wcat halves, transposed)
     bias_ref,   # [window, wwin, C] f32
-    w1t_ref,    # [9, C, C] bf16 — conv1 taps, per-tap transposed
-    w2t_ref,    # [9, C, C] bf16
+    w1t_ref,    # [C, 9C] bf16 — conv1 taps, per-tap transposed, packed
+    w2t_ref,    # [C, 9C] bf16
     # outputs -----------------------------------------------------------
     dx_ref,     # [B, H, Wpp, C] HBM out (manual DMA from x_vm)
     da_ref,     # [B, H, Wpp, C] HBM out
@@ -798,7 +822,7 @@ def _bwd_kernel(
                 dw2_ref[i * 3 + j] = dw2_ref[i * 3 + j] + contract_px(
                     sh[j][i : i + _SROWS].reshape(_SROWS * wpp, c), dpre_px,
                 )
-        _transposed_conv_stripe(df_buf, dpre_px, w2t_ref, s0, mm)
+        _transposed_conv_stripe(df_buf, dpre_px, w2t_ref, s0, prec)
         return db2
 
     db2 = jax.lax.fori_loop(0, n_s, conv2_bwd, jnp.zeros((c,), jnp.float32))
@@ -823,7 +847,7 @@ def _bwd_kernel(
                 dw1_ref[i * 3 + j] = dw1_ref[i * 3 + j] + contract_px(
                     sh[j][i : i + _SROWS].reshape(_SROWS * wpp, c), dpre_px,
                 )
-        _transposed_conv_stripe(dx1_buf, dpre_px, w1t_ref, s0, mm)
+        _transposed_conv_stripe(dx1_buf, dpre_px, w1t_ref, s0, prec)
         return db1
 
     db1 = jax.lax.fori_loop(0, n_s, conv1_bwd, jnp.zeros((c,), jnp.float32))
@@ -1006,8 +1030,9 @@ def _mega_bwd(
     mbuf = pltpu.VMEM((h + 2 * _MARGIN, wpp, c), dtype)
 
     wcat2 = wcat[0, 0].astype(dtype)
-    w1t = w1.reshape(9, c, c).transpose(0, 2, 1).astype(dtype)
-    w2t = w2.reshape(9, c, c).transpose(0, 2, 1).astype(dtype)
+    # per-tap-transposed weights packed [C, 9C] (tap-major columns)
+    w1t = w1.reshape(9, c, c).transpose(2, 0, 1).reshape(c, 9 * c).astype(dtype)
+    w2t = w2.reshape(9, c, c).transpose(2, 0, 1).reshape(c, 9 * c).astype(dtype)
 
     outs = pl.pallas_call(
         kernel,
@@ -1024,8 +1049,8 @@ def _mega_bwd(
             acc((c, c), lambda bi: (0, 0)),
             acc((c, c), lambda bi: (0, 0)),
             acc((window, wwin, c), lambda bi: (0, 0, 0)),
-            acc((9, c, c), lambda bi: (0, 0, 0)),
-            acc((9, c, c), lambda bi: (0, 0, 0)),
+            acc((c, 9 * c), lambda bi: (0, 0)),
+            acc((c, 9 * c), lambda bi: (0, 0)),
         ],
         out_specs=(
             hbm,
